@@ -1,0 +1,191 @@
+"""Spatiotemporal 3D ViT classifiers (the released OCTCube model family).
+
+Parity targets:
+- OCTCube/models_vit_st_flash_attn_nodrop.py (aggregate-cls head; released
+  OCTCube.pth classifier)
+- OCTCube/models_vit_st_flash_attn.py (dropout head; the inference-notebook
+  model OCTCube_multitask_cls.pth)
+
+Faithfully reproduced quirks (required for checkpoint-output parity):
+- flash path final feature = last block's MLP branch, no final residual add
+  (models_vit_st_flash_attn_nodrop.py:238-259) -> ``parity='flash'``.
+- dropout variant with global_pool computes norm(x) into an *unused*
+  variable and feeds the un-normed pooled feature to the head
+  (models_vit_st_flash_attn.py:247-256).  We do the same (skip the norm).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..nn.layers import TransformerStack, LN_EPS
+from ..nn.patch_embed import PatchEmbed3D
+
+
+class VisionTransformerST(nn.Module):
+    """3D tube-patch ViT with separable spatial/temporal pos embeds."""
+
+    num_frames: int
+    t_patch_size: int = 3
+    img_size: int = 256
+    patch_size: int = 16
+    in_chans: int = 1
+    num_classes: int = 16
+    embed_dim: int = 1024
+    depth: int = 24
+    num_heads: int = 16
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop_path_rate: float = 0.0
+    dropout: float = 0.5
+    sep_pos_embed: bool = True
+    cls_embed: bool = True
+    global_pool: bool = True
+    head_type: str = "aggregate"  # 'aggregate' (nodrop) | 'dropout'
+    parity: str = "flash"
+    dtype: Any = jnp.float32
+    attn_impl: str = "auto"
+    remat: bool = False
+
+    def setup(self):
+        self.patch_embed = PatchEmbed3D(
+            self.img_size, self.patch_size, self.in_chans, self.embed_dim,
+            self.num_frames, self.t_patch_size, dtype=self.dtype,
+        )
+        t_grid = self.num_frames // self.t_patch_size
+        grid = self.img_size // self.patch_size
+        if self.cls_embed:
+            self.cls_token = self.param(
+                "cls_token", nn.initializers.zeros, (1, 1, self.embed_dim))
+        if self.sep_pos_embed:
+            self.pos_embed_spatial = self.param(
+                "pos_embed_spatial", nn.initializers.truncated_normal(0.02),
+                (1, grid * grid, self.embed_dim))
+            self.pos_embed_temporal = self.param(
+                "pos_embed_temporal", nn.initializers.truncated_normal(0.02),
+                (1, t_grid, self.embed_dim))
+            if self.cls_embed:
+                self.pos_embed_class = self.param(
+                    "pos_embed_class", nn.initializers.truncated_normal(0.02),
+                    (1, 1, self.embed_dim))
+        else:
+            n = grid * grid * t_grid + (1 if self.cls_embed else 0)
+            self.pos_embed = self.param(
+                "pos_embed", nn.initializers.truncated_normal(0.02),
+                (1, n, self.embed_dim))
+        self.blocks = TransformerStack(
+            self.depth, self.embed_dim, self.num_heads, self.mlp_ratio,
+            self.qkv_bias, self.drop_path_rate, dtype=self.dtype,
+            attn_impl=self.attn_impl, parity=self.parity, remat=self.remat,
+        )
+        self.norm = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32)
+        if self.head_type == "aggregate":
+            self.fc_aggregate_cls = nn.Dense(self.embed_dim, dtype=self.dtype)
+            self.aggregate_cls_norm = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32)
+        self.head = nn.Dense(
+            self.num_classes, dtype=self.dtype,
+            kernel_init=nn.initializers.normal(0.02))
+
+    def _pos_embed(self):
+        t_grid = self.num_frames // self.t_patch_size
+        l = (self.img_size // self.patch_size) ** 2
+        if self.sep_pos_embed:
+            pos = (jnp.tile(self.pos_embed_spatial, (1, t_grid, 1))
+                   + jnp.repeat(self.pos_embed_temporal, l, axis=1))
+            if self.cls_embed:
+                pos = jnp.concatenate([self.pos_embed_class, pos], axis=1)
+        else:
+            pos = self.pos_embed
+        return pos
+
+    def forward_features(self, x, deterministic: bool = True,
+                         return_hidden: bool = False):
+        """x: [B, T, H, W, C] -> pooled feature [B, D] (pre-head)."""
+        x = self.patch_embed(x)
+        b, t, l, d = x.shape
+        x = x.reshape(b, t * l, d)
+        if self.cls_embed:
+            cls = jnp.broadcast_to(
+                self.cls_token.astype(x.dtype), (b, 1, d))
+            x = jnp.concatenate([cls, x], axis=1)
+        x = x + self._pos_embed().astype(x.dtype)
+        if return_hidden:
+            return self.blocks(x, deterministic, return_hidden=True)
+        x = self.blocks(x, deterministic)
+        if self.global_pool:
+            start = 1 if self.cls_embed else 0
+            pooled = x[:, start:, :].mean(axis=1)
+            if self.head_type == "aggregate":
+                pooled = self.norm(pooled)
+            # dropout variant: reference computes norm into an unused var and
+            # heads the raw pooled feature (models_vit_st_flash_attn.py:247-252)
+        else:
+            if self.head_type == "aggregate":
+                x = self.norm(x)
+            pooled = x[:, 0]
+        return pooled
+
+    def __call__(self, x, deterministic: bool = True,
+                 return_embeddings: bool = False, return_hidden: bool = False):
+        feat = self.forward_features(x, deterministic, return_hidden)
+        if return_hidden:
+            return feat
+        if self.head_type == "aggregate":
+            out = self.fc_aggregate_cls(feat)
+            out = self.aggregate_cls_norm(out)
+            out = nn.gelu(out, approximate=False)
+            out = self.head(out)
+        else:
+            embedding = feat
+            out = feat
+            if self.dropout > 0 and not deterministic:
+                out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+            out = self.head(out)
+            if return_embeddings:
+                return out, embedding
+        return out
+
+    def lock_groups(self) -> list[list[str]]:
+        """Progressive-unfreeze groups, first-to-last, matching the reference
+        ``lock()`` (models_vit_st_flash_attn_nodrop.py:308-351).  Entries are
+        param-path prefixes relative to the params root."""
+        first = ["patch_embed"]
+        if self.sep_pos_embed:
+            first += ["pos_embed_spatial", "pos_embed_temporal", "pos_embed_class"]
+        else:
+            first += ["pos_embed"]
+        if self.cls_embed:
+            first += ["cls_token"]
+        groups = [first]
+        groups += [[f"blocks/blocks_{i}"] for i in range(self.depth - 1)]
+        groups += [[f"blocks/blocks_{self.depth - 1}", "norm"]]
+        head_group = ["head"]
+        if self.head_type == "aggregate":
+            head_group = ["fc_aggregate_cls", "aggregate_cls_norm", "head"]
+        groups += [head_group]
+        return groups
+
+
+# ---- constructor registry (reference models_*.__dict__[name] pattern) ----
+
+def vit_base_patch16(**kw) -> VisionTransformerST:
+    return VisionTransformerST(patch_size=16, embed_dim=768, depth=12,
+                               num_heads=12, **kw)
+
+
+def vit_large_patch16(**kw) -> VisionTransformerST:
+    return VisionTransformerST(patch_size=16, embed_dim=1024, depth=24,
+                               num_heads=16, **kw)
+
+
+# the reference ships this under a separate name with use_flash_attn=True;
+# here flash is an impl detail, parity='flash' keeps checkpoint semantics
+flash_attn_vit_large_patch16 = vit_large_patch16
+
+
+def vit_huge_patch14(**kw) -> VisionTransformerST:
+    return VisionTransformerST(patch_size=16, embed_dim=1280, depth=32,
+                               num_heads=16, **kw)

@@ -1,0 +1,153 @@
+"""Transformer building blocks (flax.linen), TPU-first.
+
+Module/param names deliberately mirror the reference's flash-attn block
+state-dict keys (blocks.i.{norm1,mixer.Wqkv,mixer.out_proj,norm2,mlp.fc1,
+mlp.fc2}) so the PyTorch importer is a mechanical remap
+(OCTCube/models_vit_st_flash_attn_nodrop.py:270-302).
+
+Block semantics: mathematically the reference's two-stream flash block
+(x, residual) is a standard pre-LN ViT block, EXCEPT that at the end of the
+stack the reference feeds the last block's MLP-branch output (without the
+final residual add) into the final norm (models_vit_st_flash_attn_nodrop.py
+:238-259).  ``Block.__call__`` therefore returns both the full hidden state
+and the MLP branch, and encoders pick per their ``parity`` config.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops.attention import multi_head_attention
+
+LN_EPS = 1e-6  # partial(nn.LayerNorm, eps=1e-6) everywhere in the reference
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth on a residual branch."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+class Mlp(nn.Module):
+    hidden_dim: int
+    out_dim: int
+    dtype: jnp.dtype = jnp.float32
+    drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        x = jax.nn.gelu(x, approximate=False)  # torch nn.GELU default (erf)
+        if self.drop > 0:
+            x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
+        if self.drop > 0:
+            x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        return x
+
+
+class MHA(nn.Module):
+    """Fused-QKV multi-head attention ('mixer' in flash-attn naming)."""
+
+    dim: int
+    num_heads: int
+    qkv_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x):
+        b, n, _ = x.shape
+        h = self.num_heads
+        dh = self.dim // h
+        qkv = nn.Dense(3 * self.dim, use_bias=self.qkv_bias, dtype=self.dtype,
+                       name="Wqkv")(x)
+        qkv = qkv.reshape(b, n, 3, h, dh)
+        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+        out = multi_head_attention(q, k, v, impl=self.attn_impl)
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, self.dim)
+        return nn.Dense(self.dim, dtype=self.dtype, name="out_proj")(out)
+
+
+class Block(nn.Module):
+    """Pre-LN transformer block; returns (hidden, mlp_branch)."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop_path: float = 0.0
+    drop: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        a = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32, name="norm1")(x)
+        a = MHA(self.dim, self.num_heads, self.qkv_bias, self.dtype,
+                self.attn_impl, name="mixer")(a.astype(self.dtype))
+        a = DropPath(self.drop_path, name="drop_path1")(a, deterministic)
+        x = x + a
+        m = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32, name="norm2")(x)
+        m = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.dtype,
+                self.drop, name="mlp")(m.astype(self.dtype), deterministic)
+        m = DropPath(self.drop_path, name="drop_path2")(m, deterministic)
+        return x + m, m
+
+
+class TransformerStack(nn.Module):
+    """A stack of Blocks with linearly increasing drop-path and the
+    reference's flash-parity final-feature selection.
+
+    parity='flash'    -> final feature is the last block's MLP branch
+                         (matches released flash-attn-trained checkpoints)
+    parity='standard' -> final feature is the full hidden state
+    """
+
+    depth: int
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop_path_rate: float = 0.0
+    drop: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "auto"
+    parity: str = "flash"
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True, return_hidden: bool = False):
+        if self.depth > 1:
+            dpr = [self.drop_path_rate * i / (self.depth - 1) for i in range(self.depth)]
+        else:
+            dpr = [0.0]
+        hidden = []
+        m = x
+        block_cls = Block
+        if self.remat:
+            block_cls = nn.remat(Block, static_argnums=(2,))
+        for i in range(self.depth):
+            blk = block_cls(
+                self.dim, self.num_heads, self.mlp_ratio, self.qkv_bias,
+                dpr[i], self.drop, self.dtype, self.attn_impl, name=f"blocks_{i}"
+            )
+            x, m = blk(x, deterministic)
+            hidden.append(m if self.parity == "flash" else x)
+        if return_hidden:
+            return hidden
+        return m if self.parity == "flash" else x

@@ -1,0 +1,41 @@
+"""Multi-head attention ops: XLA reference path + Pallas flash dispatch.
+
+The reference's hot kernel is flash-attn 2.5.2 CUDA (SURVEY.md §2.9,
+flash_attn.models.vit.create_block); here the equivalent is a Pallas
+online-softmax kernel (ops/flash_attention.py).  The naive path below is
+the bit-parity / CPU-test reference: plain softmax(QK^T)V with fp32
+softmax, identical math to OCTCube/util/video_vit.py:115-141.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def naive_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                    scale: float | None = None) -> jnp.ndarray:
+    """q, k, v: [B, H, N, D] -> [B, H, N, D]. fp32 softmax accumulation."""
+    d = q.shape[-1]
+    if scale is None:
+        scale = d ** -0.5
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    s = s * scale
+    p = jax.nn.softmax(s.astype(jnp.float32), axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+def multi_head_attention(q, k, v, scale=None, impl: str = "auto"):
+    """Dispatch between the Pallas flash kernel and the naive path.
+
+    impl: 'flash' | 'naive' | 'auto' (flash on TPU, naive elsewhere).
+    """
+    if impl == "auto":
+        platform = jax.local_devices()[0].platform
+        impl = "flash" if platform in ("tpu", "axon") else "naive"
+    if impl == "flash":
+        from .flash_attention import flash_attention
+        return flash_attention(q, k, v, scale=scale)
+    return naive_attention(q, k, v, scale=scale)

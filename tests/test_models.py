@@ -1,0 +1,115 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from octcubem_tpu.models import vit_st, mae3d
+
+
+def _tiny_vit(**kw):
+    defaults = dict(
+        num_frames=6, t_patch_size=3, img_size=32, patch_size=16,
+        in_chans=1, num_classes=4, embed_dim=32, depth=2, num_heads=2,
+        attn_impl="naive",
+    )
+    defaults.update(kw)
+    return vit_st.VisionTransformerST(**defaults)
+
+
+def test_vit_st_forward_shapes():
+    m = _tiny_vit()
+    x = jnp.ones((2, 6, 32, 32, 1))
+    params = m.init(jax.random.key(0), x)
+    out = m.apply(params, x)
+    assert out.shape == (2, 4)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_vit_st_dropout_head_and_embeddings():
+    m = _tiny_vit(head_type="dropout")
+    x = jnp.ones((1, 6, 32, 32, 1))
+    params = m.init(jax.random.key(0), x)
+    out, emb = m.apply(params, x, return_embeddings=True)
+    assert out.shape == (1, 4) and emb.shape == (1, 32)
+
+
+def test_vit_st_flash_vs_standard_parity_differ():
+    """flash parity (no final residual add) must differ from standard."""
+    x = jax.random.normal(jax.random.key(1), (1, 6, 32, 32, 1))
+    mf = _tiny_vit(parity="flash")
+    ms = _tiny_vit(parity="standard")
+    params = mf.init(jax.random.key(0), x)
+    of = mf.apply(params, x)
+    os_ = ms.apply(params, x)
+    assert not np.allclose(np.asarray(of), np.asarray(os_))
+
+
+def test_vit_st_hidden_states():
+    m = _tiny_vit()
+    x = jnp.ones((1, 6, 32, 32, 1))
+    params = m.init(jax.random.key(0), x)
+    hidden = m.apply(params, x, return_hidden=True)
+    assert len(hidden) == 2
+    assert hidden[0].shape == (1, 1 + 2 * 4, 32)
+
+
+def _tiny_mae(**kw):
+    defaults = dict(
+        input_size=32, high_res_input_size=64, patch_size=16, in_chans=1,
+        embed_dim=32, depth=2, num_heads=2, decoder_embed_dim=16,
+        decoder_depth=1, decoder_num_heads=2, num_frames=6, t_patch_size=3,
+        pred_t_dim=6, attn_impl="naive",
+    )
+    defaults.update(kw)
+    return mae3d.MaskedAutoencoderViT3D(**defaults)
+
+
+def test_mae3d_forward_3d():
+    m = _tiny_mae()
+    x = jax.random.normal(jax.random.key(0), (2, 6, 32, 32, 1))
+    params = m.init({"params": jax.random.key(1), "masking": jax.random.key(2)},
+                    x, mask_ratio=0.75)
+    loss, frame_losses, pred, mask = m.apply(
+        params, x, mask_ratio=0.75, rngs={"masking": jax.random.key(3)})
+    assert np.isfinite(float(loss))
+    assert frame_losses.shape == (2, 2)  # t_grid = 2
+    # L = 2*2*2 = 8 tokens, mask 0.75 -> 6 masked
+    assert pred.shape == (2, 8, 3 * 16 * 16 * 1)
+    assert np.asarray(mask).sum() == 2 * 6
+
+
+def test_mae3d_forward_2d_highres():
+    """2D co-training input: T = t_patch_size replicated frames, high-res."""
+    m = _tiny_mae()
+    x3 = jax.random.normal(jax.random.key(0), (2, 6, 32, 32, 1))
+    params = m.init({"params": jax.random.key(1), "masking": jax.random.key(2)},
+                    x3, mask_ratio=0.75)
+    x2 = jax.random.normal(jax.random.key(4), (2, 3, 64, 64, 1))
+    loss, frame_losses, pred, mask = m.apply(
+        params, x2, mask_ratio=0.75, rngs={"masking": jax.random.key(5)})
+    assert np.isfinite(float(loss))
+    assert frame_losses.shape == (2, 1)
+    assert pred.shape == (2, 16, 3 * 16 * 16 * 1)  # 4x4 grid, t'=1
+
+
+def test_mae3d_eval_no_masking():
+    m = _tiny_mae()
+    x = jax.random.normal(jax.random.key(0), (1, 6, 32, 32, 1))
+    params = m.init({"params": jax.random.key(1), "masking": jax.random.key(2)},
+                    x, mask_ratio=0.75)
+    loss, _, pred, mask = m.apply(params, x, mask_ratio=0.0)
+    assert np.asarray(mask).sum() == 0
+    assert np.isfinite(np.asarray(pred)).all()
+
+
+def test_mae3d_premask():
+    m = _tiny_mae()
+    x = jax.random.normal(jax.random.key(0), (1, 6, 32, 32, 1))
+    params = m.init({"params": jax.random.key(1), "masking": jax.random.key(2)},
+                    x, mask_ratio=0.75)
+    pre = np.zeros((1, 8), dtype=np.float32)
+    pre[:, :2] = 1.0
+    _, _, _, mask = m.apply(params, x, mask_ratio=0.75,
+                            pre_mask=jnp.asarray(pre),
+                            rngs={"masking": jax.random.key(6)})
+    assert (np.asarray(mask)[:, :2] == 1).all()
