@@ -118,14 +118,20 @@ class VisionTransformerST(nn.Module):
         if self.global_pool:
             start = 1 if self.cls_embed else 0
             pooled = x[:, start:, :].mean(axis=1)
+            normed = self.norm(pooled)
             if self.head_type == "aggregate":
-                pooled = self.norm(pooled)
+                pooled = normed
             # dropout variant: reference computes norm into an unused var and
-            # heads the raw pooled feature (models_vit_st_flash_attn.py:247-252)
+            # heads the raw pooled feature (models_vit_st_flash_attn.py:247-252);
+            # the discarded call still materializes the norm params present in
+            # reference checkpoints (XLA dead-code-eliminates it)
         else:
             if self.head_type == "aggregate":
                 x = self.norm(x)
-            pooled = x[:, 0]
+                pooled = x[:, 0]
+            else:
+                pooled = x[:, 0]
+                _ = self.norm(pooled)  # param materialization only
         return pooled
 
     def __call__(self, x, deterministic: bool = True,
