@@ -1,0 +1,108 @@
+"""Threaded host-side batch loader (replaces torch DataLoader +
+DistributedSampler).
+
+Shuffling is per-epoch deterministic from a seed; under data parallelism
+each step's global batch is sharded over the mesh 'data' axis via
+mae_engine.shard_batch, replacing the reference's DistributedSampler
+(main_pretrain…py:364-371).  Workers are threads (ingestion is
+numpy/PIL which releases the GIL for the heavy parts).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator
+
+import numpy as np
+
+
+def _collate(samples):
+    first = samples[0]
+    if isinstance(first, tuple):
+        return tuple(_collate([s[i] for s in samples])
+                     for i in range(len(first)))
+    if isinstance(first, (str, bytes)):
+        return list(samples)
+    arr = np.stack([np.asarray(s) for s in samples])
+    return arr
+
+
+class Loader:
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 drop_last: bool = True, num_workers: int = 4, seed: int = 0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.seed = seed
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def _indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        if self.shuffle:
+            rng = np.random.default_rng((self.seed, self.epoch))
+            return rng.permutation(n)
+        return np.arange(n)
+
+    def __iter__(self) -> Iterator:
+        idx = self._indices()
+        nb = len(self)
+        batches = [idx[i * self.batch_size:(i + 1) * self.batch_size]
+                   for i in range(nb)]
+        out_q: "queue.Queue" = queue.Queue(maxsize=2 * self.num_workers)
+        job_q: "queue.Queue" = queue.Queue()
+        for i, b in enumerate(batches):
+            job_q.put((i, b))
+
+        results: dict[int, object] = {}
+        lock = threading.Lock()
+        stop = threading.Event()
+
+        def worker():
+            while not stop.is_set():
+                try:
+                    i, b = job_q.get_nowait()
+                except queue.Empty:
+                    return
+                batch = _collate([self.dataset[int(j)] for j in b])
+                out_q.put((i, batch))
+
+        threads = [threading.Thread(target=worker, daemon=True)
+                   for _ in range(self.num_workers)]
+        for t in threads:
+            t.start()
+        try:
+            next_i = 0
+            received = 0
+            while next_i < nb:
+                while next_i not in results and received < nb:
+                    i, batch = out_q.get()
+                    results[i] = batch
+                    received += 1
+                with lock:
+                    batch = results.pop(next_i)
+                yield batch
+                next_i += 1
+        finally:
+            stop.set()
+
+
+def cycle(loader: Loader) -> Iterator:
+    """Wrap-around iterator for the secondary 2D loader
+    (engine_pretrain.py:93-99)."""
+    epoch = 0
+    while True:
+        loader.set_epoch(epoch)
+        yield from loader
+        epoch += 1

@@ -1,0 +1,215 @@
+"""Patient/visit-indexed OCT datasets, labels, and splits.
+
+Parity targets:
+- PatientDataset3D / PatientDatasetCenter2D (OCTCube/util/
+  PatientDataset.py:514-1391): frame / volume / dicom source modes,
+  patient vs visit iteration, center-B-scan extraction.
+- PatientDataset*_inhouse (OCTCube/util/PatientDataset_inhouse.py):
+  metadata-pickle patient->visit dicts, task-mode label construction
+  (:125-154), normal-case downsampling (:279-332), visit expansion.
+- k-fold / single-fold patient splits
+  (main_finetune_downstream_inhouse_singlefold.py:294-316).
+
+Directory layout convention (same as the reference's in-house data):
+root/patient_id/[visit_id/]oct_000.png ...; or one .npy / .dcm per visit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import glob
+import os
+import pickle
+from typing import Any, Callable
+
+import numpy as np
+
+from . import ingest
+
+
+@dataclasses.dataclass
+class Visit:
+    patient_id: str
+    visit_id: str
+    frames: list[str]               # file paths (PNGs) or [single npy/dcm]
+    labels: dict[str, int] = dataclasses.field(default_factory=dict)
+    metadata: dict = dataclasses.field(default_factory=dict)
+
+
+def scan_directory(root: str, frame_glob: str = "*.png") -> list[Visit]:
+    """Walk root/patient[/visit]/frames into Visit records."""
+    visits = []
+    for pid in sorted(os.listdir(root)):
+        pdir = os.path.join(root, pid)
+        if not os.path.isdir(pdir):
+            continue
+        subdirs = sorted(d for d in os.listdir(pdir)
+                         if os.path.isdir(os.path.join(pdir, d)))
+        if subdirs:
+            for vid in subdirs:
+                frames = sorted(glob.glob(os.path.join(pdir, vid, frame_glob)))
+                other = sorted(glob.glob(os.path.join(pdir, vid, "*.npy"))
+                               + glob.glob(os.path.join(pdir, vid, "*.dcm")))
+                if frames or other:
+                    visits.append(Visit(pid, vid, frames or other))
+        else:
+            frames = sorted(glob.glob(os.path.join(pdir, frame_glob)))
+            other = sorted(glob.glob(os.path.join(pdir, "*.npy"))
+                           + glob.glob(os.path.join(pdir, "*.dcm")))
+            if frames or other:
+                visits.append(Visit(pid, "0", frames or other))
+    return visits
+
+
+def load_metadata_pickle(path: str) -> dict:
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def build_labels(visits: list[Visit], task_mode: str, disease: str = "AMD",
+                 disease_list: tuple[str, ...] = ("AMD", "DME", "POG", "MH")):
+    """Task-mode label construction (PatientDataset_inhouse.py:125-154).
+
+    binary_cls  -> int {0: NC, 1: disease}
+    multi_cls   -> int index into disease_list
+    multi_label / multi_task -> [1 + len(disease_list)] vector with
+                   column 0 = normal indicator.
+    Returns (class_to_idx, label_fn(visit) -> label array/int).
+    """
+    if task_mode == "binary_cls":
+        class_to_idx = {"NC": 0, disease: 1}
+
+        def label_fn(v: Visit):
+            return np.int64(v.labels.get(disease, 0))
+    elif task_mode == "multi_cls":
+        class_to_idx = {d: i for i, d in enumerate(disease_list)}
+
+        def label_fn(v: Visit):
+            for i, d in enumerate(disease_list):
+                if v.labels.get(d, 0):
+                    return np.int64(i)
+            return np.int64(0)
+    else:  # multi_label / multi_task*
+        class_to_idx = {d: i for i, d in enumerate(disease_list)}
+
+        def label_fn(v: Visit):
+            vec = np.zeros(1 + len(disease_list), np.float32)
+            any_d = 0
+            for i, d in enumerate(disease_list):
+                vec[1 + i] = v.labels.get(d, 0)
+                any_d |= int(vec[1 + i] > 0)
+            vec[0] = 0.0 if any_d else 1.0
+            return vec
+    return class_to_idx, label_fn
+
+
+def downsample_normal(visits: list[Visit], ratio: float,
+                      seed: int = 0) -> list[Visit]:
+    """Keep only `ratio` of all-normal patients
+    (PatientDataset_inhouse.py:279-332)."""
+    rng = np.random.default_rng(seed)
+    normal = [v for v in visits if not any(v.labels.values())]
+    abnormal = [v for v in visits if any(v.labels.values())]
+    keep = rng.permutation(len(normal))[: int(len(normal) * ratio)]
+    return abnormal + [normal[i] for i in sorted(keep)]
+
+
+def kfold_patient_split(visits: list[Visit], k: int, fold: int,
+                        seed: int = 0, val_frac: float = 0.5):
+    """Patient-level k-fold: held-out fold is split into val/test halves
+    (the reference's KFold + val/test split, main_…singlefold.py:294-316)."""
+    pids = sorted({v.patient_id for v in visits})
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(len(pids))
+    folds = np.array_split(order, k)
+    held = set(folds[fold].tolist())
+    train_p = {pids[i] for j, f in enumerate(folds) if j != fold for i in f}
+    held_list = [pids[i] for i in folds[fold]]
+    nval = int(len(held_list) * val_frac)
+    val_p, test_p = set(held_list[:nval]), set(held_list[nval:])
+    sel = lambda ps: [v for v in visits if v.patient_id in ps]
+    return sel(train_p), sel(val_p), sel(test_p)
+
+
+def single_fold_split(visits: list[Visit], train_ids, val_ids, test_ids):
+    by = lambda ids: [v for v in visits if v.patient_id in set(ids)]
+    return by(train_ids), by(val_ids), by(test_ids)
+
+
+@dataclasses.dataclass
+class PatientDataset3D:
+    """3D volumes per visit. dataset_mode: 'frame' | 'volume' | 'dicom'."""
+
+    visits: list[Visit]
+    label_fn: Callable[[Visit], Any]
+    dataset_mode: str = "frame"
+    max_frames: int | None = 60
+    transform: Callable | None = None
+    mode: str = "gray"
+    downsample_width: bool = True
+    same_3_frames: bool = False
+    volume_resize: tuple[int, int] | None = None
+    return_patient_id: bool = False
+    shift_mean_std: bool = True
+    seed: int = 0
+
+    def __len__(self):
+        return len(self.visits)
+
+    def __getitem__(self, idx: int):
+        v = self.visits[idx]
+        rng = np.random.default_rng((self.seed, idx, len(self.visits)))
+        if self.dataset_mode == "frame":
+            vol = ingest.load_frame_stack(v.frames, self.mode,
+                                          self.downsample_width)
+        elif self.dataset_mode == "volume":
+            vol = ingest.load_npy_volume(v.frames[0], self.downsample_width,
+                                         self.volume_resize)
+        elif self.dataset_mode == "dicom":
+            vol, _, _ = ingest.load_dicom_volume(
+                v.frames[0], shift_mean_std=self.shift_mean_std,
+                downsample_width=self.downsample_width)
+        else:
+            raise ValueError(self.dataset_mode)
+        if self.max_frames:
+            vol = ingest.pad_or_crop_frames(vol, self.max_frames,
+                                            self.same_3_frames)
+        if self.transform is not None:
+            vol = self.transform(vol, rng=rng)
+        label = self.label_fn(v)
+        # channel-last for the TPU models
+        sample = vol[..., None] if vol.ndim == 3 else vol
+        if self.return_patient_id:
+            return sample, v.patient_id, label
+        return sample, label
+
+
+@dataclasses.dataclass
+class PatientDatasetCenter2D:
+    """Center B-scan per visit (PatientDatasetCenter2D, :809-1391)."""
+
+    visits: list[Visit]
+    label_fn: Callable[[Visit], Any]
+    transform: Callable | None = None
+    mode: str = "gray"
+    downsample_width: bool = True
+    return_path: bool = False
+    seed: int = 0
+
+    def __len__(self):
+        return len(self.visits)
+
+    def __getitem__(self, idx: int):
+        v = self.visits[idx]
+        rng = np.random.default_rng((self.seed, idx))
+        center = v.frames[len(v.frames) // 2]
+        img = ingest.load_frame_stack([center], self.mode,
+                                      self.downsample_width)[0]
+        if self.transform is not None:
+            img = self.transform(img, rng=rng)
+        if img.ndim == 2:
+            img = img[..., None]
+        label = self.label_fn(v)
+        if self.return_path:
+            return img, label, center
+        return img, label

@@ -1,0 +1,92 @@
+"""MAE pretraining engine: jitted data-parallel train/eval steps.
+
+TPU-native equivalent of Pre-training/engine_pretrain.py:29-205 —
+the joint step consumes one 3D-volume batch plus one 2D high-res batch,
+sums the losses, and returns per-frame losses for the SPL hardness dict.
+The DDP all-reduce is replaced by pjit over a mesh: batches are sharded on
+the 'data' axis, params replicated, and XLA emits the gradient psum.
+
+bf16 activations, fp32 params/optimizer; no loss scaler (TPU bf16 needs
+none — the reference's fp16 GradScaler is a CUDA artifact, SURVEY §2.9).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..core.mesh import DATA_AXIS
+from .train_state import TrainState
+
+
+def make_mae_train_step(model, tx, joint: bool = False):
+    """Returns step(state, batch3d, mask_ratio, batch2d?, mask_ratio_2d?,
+    pre_mask?) -> (state, metrics).
+
+    mask ratios are static floats (recompiled per scheduled value — the 2D
+    ratio changes once per epoch, so at most one recompile per epoch).
+    """
+
+    def loss_fn(params, rng, batch3d, mask_ratio, batch2d, mask_ratio_2d,
+                pre_mask):
+        r3, r2 = jax.random.split(rng)
+        loss3d, frame_losses, _, _ = model.apply(
+            params, batch3d, mask_ratio=mask_ratio, pre_mask=pre_mask,
+            deterministic=False,
+            rngs={"masking": r3, "dropout": r3})
+        total = loss3d
+        loss2d = jnp.zeros(())
+        if joint:
+            loss2d, _, _, _ = model.apply(
+                params, batch2d, mask_ratio=mask_ratio_2d,
+                deterministic=False, rngs={"masking": r2, "dropout": r2})
+            total = total + loss2d
+        return total, (loss3d, loss2d, frame_losses)
+
+    @functools.partial(jax.jit, static_argnames=("mask_ratio", "mask_ratio_2d"),
+                       donate_argnums=(0,))
+    def step(state: TrainState, batch3d, mask_ratio: float = 0.9,
+             batch2d=None, mask_ratio_2d: float = 0.75, pre_mask=None):
+        rng, new_rng = jax.random.split(state.rng)
+        (total, (l3, l2, fl)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, rng, batch3d, mask_ratio,
+                                   batch2d, mask_ratio_2d, pre_mask)
+        state = state.apply_gradients(tx, grads).replace(rng=new_rng)
+        gn = optax_global_norm(grads)
+        metrics = {"loss": total, "loss_3d": l3, "loss_2d": l2,
+                   "frame_losses": fl, "grad_norm": gn}
+        return state, metrics
+
+    return step
+
+
+def make_mae_eval_step(model):
+    @jax.jit
+    def eval_step(params, batch, rng):
+        loss, frame_losses, pred, mask = model.apply(
+            params, batch, mask_ratio=0.75, rngs={"masking": rng})
+        return {"loss": loss, "frame_losses": frame_losses,
+                "pred": pred, "mask": mask}
+
+    return eval_step
+
+
+def optax_global_norm(tree) -> jax.Array:
+    leaves = jax.tree.leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x.astype(jnp.float32)))
+                        for x in leaves))
+
+
+def shard_batch(batch, mesh):
+    """Place a host batch sharded over the data axis."""
+    sh = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate_state(state, mesh):
+    sh = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sh), state)

@@ -1,0 +1,95 @@
+"""Optimizers: AdamW with the reference's weight-decay masking and
+layer-wise LR decay, expressed as optax transforms over param paths.
+
+Parity targets:
+- no-weight-decay set = all 1D params + pos embeds / cls / mask tokens
+  (OCTCube/util/lr_decay.py:28-31, models' no_weight_decay()).
+- layer-wise lr decay (BEiT-style): scale = layer_decay ** (num_layers+1 -
+  layer_id) with layer 0 = embeddings, i+1 = block i, num_layers+1 = head
+  (OCTCube/util/lr_decay.py:9-70).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable
+
+import jax
+import optax
+
+
+def _path_str(path) -> str:
+    return "/".join(getattr(k, "key", str(k)) for k in path)
+
+
+def weight_decay_mask(params) -> "jax.tree_util.PyTreeDef":
+    """True where weight decay applies: ndim > 1 and not a pos/cls/mask
+    token embedding."""
+
+    def decide(path, leaf):
+        name = _path_str(path)
+        if leaf.ndim <= 1:
+            return False
+        if any(t in name for t in ("pos_embed", "cls_token", "mask_token")):
+            return False
+        return True
+
+    return jax.tree_util.tree_map_with_path(decide, params)
+
+
+def layer_decay_scales(params, num_blocks: int, layer_decay: float):
+    """Per-param LR multipliers implementing BEiT layer decay.
+
+    Our param paths: 'patch_embed/...', 'pos_embed*', 'cls_token',
+    'blocks/blocks_{i}/...', everything else = head layer.
+    """
+    num_layers = num_blocks + 1
+    scales = [layer_decay ** (num_layers - i) for i in range(num_layers + 1)]
+
+    def layer_id(name: str) -> int:
+        if name.startswith(("cls_token", "pos_embed", "patch_embed")):
+            return 0
+        m = re.search(r"blocks/blocks_(\d+)/", name)
+        if m:
+            return int(m.group(1)) + 1
+        return num_layers
+
+    def decide(path, leaf):
+        return scales[layer_id(_path_str(path))]
+
+    return jax.tree_util.tree_map_with_path(decide, params)
+
+
+def scale_by_tree(scales) -> optax.GradientTransformation:
+    """Multiply updates elementwise by a static per-param scalar pytree."""
+
+    def init_fn(params):
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        return jax.tree.map(lambda u, s: u * s, updates, scales), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def build_adamw(
+    params,
+    learning_rate: float | Callable,
+    weight_decay: float = 0.05,
+    betas: tuple[float, float] = (0.9, 0.95),
+    layer_decay: float | None = None,
+    num_blocks: int | None = None,
+    clip_grad: float | None = None,
+) -> optax.GradientTransformation:
+    """AdamW matching the reference pretrain (betas 0.9/0.95) and finetune
+    (layer decay 0.65) configurations."""
+    txs = []
+    if clip_grad is not None:
+        txs.append(optax.clip_by_global_norm(clip_grad))
+    txs.append(optax.scale_by_adam(b1=betas[0], b2=betas[1]))
+    txs.append(optax.add_decayed_weights(weight_decay, weight_decay_mask(params)))
+    if layer_decay is not None and layer_decay != 1.0:
+        assert num_blocks is not None
+        txs.append(scale_by_tree(layer_decay_scales(params, num_blocks, layer_decay)))
+    txs.append(optax.scale_by_learning_rate(learning_rate))
+    return optax.chain(*txs)

@@ -1,0 +1,174 @@
+import os
+
+import numpy as np
+import pytest
+
+from octcubem_tpu.data import ingest, transforms, patients, loader, spl
+from octcubem_tpu.data.dicom import write_dicom, read_dicom
+
+
+def test_dicom_roundtrip(tmp_path):
+    vol = (np.random.default_rng(0).random((5, 32, 40)) * 255).astype(np.uint8)
+    p = str(tmp_path / "x.dcm")
+    write_dicom(p, vol, manufacturer="Heidelberg", model="Spectralis")
+    d = read_dicom(p)
+    assert d.manufacturer == "Heidelberg"
+    assert d.model_name == "Spectralis"
+    np.testing.assert_array_equal(d.pixel_array, vol)
+
+
+def test_dicom_16bit(tmp_path):
+    vol = (np.random.default_rng(1).random((3, 16, 16)) * 60000).astype(np.uint16)
+    p = str(tmp_path / "y.dcm")
+    write_dicom(p, vol)
+    np.testing.assert_array_equal(read_dicom(p).pixel_array, vol)
+
+
+def test_pad_or_crop_frames():
+    vol = np.arange(10 * 4 * 4, dtype=np.float32).reshape(10, 4, 4)
+    out = ingest.pad_or_crop_frames(vol, 6)
+    np.testing.assert_array_equal(out, vol[2:8])  # center crop
+    out = ingest.pad_or_crop_frames(vol, 14)
+    assert out.shape[0] == 14
+    assert (out[:2] == 0).all() and (out[-2:] == 0).all()
+    np.testing.assert_array_equal(out[2:12], vol)
+    out = ingest.pad_or_crop_frames(vol, 3, same_3_frames=True)
+    np.testing.assert_array_equal(out, np.repeat(vol[4:5], 3, axis=0))
+
+
+def test_crop_foreground():
+    vol = np.zeros((6, 8, 8), np.float32)
+    vol[2:5, 3:6, 1:7] = 1.0
+    out = transforms.crop_foreground(vol)
+    assert out.shape == (3, 3, 6)
+    assert (out > 0).all()
+
+
+def test_transform3d_shapes():
+    tr, va = transforms.create_3d_transforms(input_size=32, num_frames=8)
+    vol = np.random.default_rng(0).random((13, 40, 48)).astype(np.float32)
+    out = tr(vol, rng=np.random.default_rng(1))
+    assert out.shape == (8, 32, 32)
+    out_v = va(vol)
+    assert out_v.shape == (8, 32, 32)
+
+
+def test_otsu_reasonable():
+    rng = np.random.default_rng(0)
+    img = np.concatenate([rng.normal(20, 3, 500), rng.normal(200, 10, 500)])
+    th = ingest.otsu_threshold(img)
+    # any threshold separating the two clusters is valid (argmax lands at
+    # the start of the between-cluster variance plateau)
+    assert 25 < th < 190
+    # the threshold must cleanly separate the two clusters (tail tolerance)
+    assert abs(int((img < th).sum()) - 500) <= 2
+
+
+def test_topcon_normalization_chain():
+    rng = np.random.default_rng(0)
+    vol = np.zeros((4, 800, 64), np.float32)
+    vol[:, 300:500, :] = rng.random((4, 200, 64)) * 180 + 20  # retina band
+    out = ingest.normalize_dicom_volume(vol, "Topcon", "Maestro2")
+    assert out.shape[1] == 496  # height-normalized
+    assert out.min() >= 0.0
+    assert np.isfinite(out).all()
+
+
+def _make_frame_tree(tmp_path, n_patients=3, n_frames=5):
+    from PIL import Image
+    rng = np.random.default_rng(0)
+    for p in range(n_patients):
+        d = tmp_path / f"p{p:03d}" / "v0"
+        os.makedirs(d)
+        for f in range(n_frames):
+            arr = (rng.random((24, 24)) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(d / f"oct_{f:03d}.png")
+    return str(tmp_path)
+
+
+def test_patient_dataset_frame_mode(tmp_path):
+    root = _make_frame_tree(tmp_path)
+    visits = patients.scan_directory(root, "oct_*.png")
+    assert len(visits) == 3
+    for v in visits:
+        v.labels = {"AMD": int(v.patient_id == "p001")}
+    _, label_fn = patients.build_labels(visits, "multi_task_default",
+                                        disease_list=("AMD", "DME"))
+    tr, _ = transforms.create_3d_transforms(input_size=16, num_frames=6,
+                                            RandFlipd_prob=0)
+    ds = patients.PatientDataset3D(visits, label_fn, dataset_mode="frame",
+                                   max_frames=6, transform=tr)
+    x, y = ds[1]
+    assert x.shape == (6, 16, 16, 1)
+    assert y.shape == (3,)
+    assert y[1] == 1.0 and y[0] == 0.0  # p001 has AMD
+
+
+def test_center2d_dataset(tmp_path):
+    root = _make_frame_tree(tmp_path)
+    visits = patients.scan_directory(root, "oct_*.png")
+    for v in visits:
+        v.labels = {}
+    _, label_fn = patients.build_labels(visits, "binary_cls", disease="AMD")
+    ds = patients.PatientDatasetCenter2D(visits, label_fn)
+    img, y = ds[0]
+    assert img.shape == (24, 24, 1)
+    assert y == 0
+
+
+def test_kfold_split_no_leakage():
+    visits = [patients.Visit(f"p{i}", "0", ["x"]) for i in range(10)]
+    for fold in range(3):
+        tr, va, te = patients.kfold_patient_split(visits, 3, fold, seed=1)
+        trp = {v.patient_id for v in tr}
+        vap = {v.patient_id for v in va}
+        tep = {v.patient_id for v in te}
+        assert not (trp & vap) and not (trp & tep) and not (vap & tep)
+        assert len(trp | vap | tep) == 10
+
+
+def test_loader_batching_and_determinism(tmp_path):
+    class Toy:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            return np.full((2, 2), i, np.float32), np.int64(i)
+
+    ld = loader.Loader(Toy(), batch_size=3, shuffle=True, num_workers=2, seed=5)
+    ld.set_epoch(0)
+    b1 = [b for b in ld]
+    ld.set_epoch(0)
+    b2 = [b for b in ld]
+    assert len(b1) == 3  # drop_last
+    for (x1, y1), (x2, y2) in zip(b1, b2):
+        np.testing.assert_array_equal(x1, x2)
+        np.testing.assert_array_equal(y1, y2)
+    assert b1[0][0].shape == (3, 2, 2)
+
+
+def test_spl_state(tmp_path):
+    st = spl.SPLState([f"img{i}" for i in range(10)])
+    st.update_hardness([f"img{i}" for i in range(10)], np.arange(10) / 10)
+    active = st.update_spl(0.3)
+    assert active == ["img9", "img8", "img7"]
+    p = st.save(str(tmp_path), 3)
+    st2 = spl.SPLState.load(p)
+    assert st2.hardness["img9"]["hardness"] == 0.9
+
+
+def test_premask_vectorized():
+    import jax
+    from octcubem_tpu.data.premask import compute_premask
+    rng = np.random.default_rng(0)
+    b, t, g, d = 2, 2, 8, 16
+    l = g * g
+    feat = rng.standard_normal((b, t * l, d)).astype(np.float32)
+    # make the first 20 patches of frame 0 nearly identical (blank region)
+    feat[:, :20] = rng.standard_normal((1, d)) + 0.01 * rng.standard_normal((b, 20, d))
+    mask = np.asarray(compute_premask(feat, t, g))
+    assert mask.shape == (b, t * l)
+    counts = mask.reshape(b, t, l).sum(-1)
+    # every frame masks the same count, >= L/2
+    assert (counts == counts[:, :1]).all()
+    assert (counts >= l // 2).all()

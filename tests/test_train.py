@@ -1,0 +1,130 @@
+import numpy as np
+import torch
+import torch.nn.functional as F
+import jax
+import jax.numpy as jnp
+
+from octcubem_tpu.train import losses, optim, schedules
+
+
+def _torch_wlsce(x, target, smoothing=0.1):
+    """Oracle: reference WeightedLabelSmoothingCrossEntropy semantics."""
+    valid = (target.sum(dim=-1) != 0).float()
+    if valid.sum() == 0:
+        return x.mean() * 0
+    logprobs = F.log_softmax(x, dim=-1)
+    idx = target.argmax(dim=-1)
+    nll = -logprobs.gather(-1, idx.unsqueeze(1)).squeeze(1)
+    smooth = -logprobs.mean(dim=-1)
+    loss = (1 - smoothing) * nll + smoothing * smooth
+    return (loss * valid).sum() / valid.sum()
+
+
+def test_weighted_label_smoothing_ce_matches_oracle():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((6, 2)).astype(np.float32)
+    t = np.zeros((6, 2), np.float32)
+    t[0, 0] = 1; t[1, 1] = 1; t[2, 1] = 1; t[3, 0] = 1  # rows 4,5 invalid
+    ref = float(_torch_wlsce(torch.tensor(x), torch.tensor(t)))
+    ours = float(losses.weighted_label_smoothing_ce(jnp.asarray(x), jnp.asarray(t)))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5)
+
+
+def test_multi_task_loss_matches_oracle():
+    """Oracle built from the reference multi_task_loss composition
+    (engine_finetune.py:45-70)."""
+    rng = np.random.default_rng(1)
+    b, ncls = 5, 4  # 3 tasks
+    logits = rng.standard_normal((b, 2 * (ncls - 1))).astype(np.float32)
+    target = (rng.random((b, ncls)) > 0.5).astype(np.float32)
+
+    tl = torch.tensor(logits).reshape(b, ncls - 1, 2)
+    tt = torch.tensor(target)
+    total = 0.0
+    wsum = 0.0
+    for i in range(ncls - 1):
+        ti = torch.stack([tt[:, 0], tt[:, i + 1]], dim=1)
+        total = total + _torch_wlsce(tl[:, i], ti)
+        wsum += float(ti.sum())
+    ref = float(total) / (wsum + 1e-8)
+
+    ours = float(losses.multi_task_loss(jnp.asarray(logits), jnp.asarray(target)))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5)
+
+
+def test_bce_matches_torch():
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((4, 8)).astype(np.float32)
+    t = (rng.random((4, 8)) > 0.5).astype(np.float32)
+    ref = float(F.binary_cross_entropy_with_logits(torch.tensor(x), torch.tensor(t)))
+    ours = float(losses.bce_with_logits(jnp.asarray(x), jnp.asarray(t)))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5)
+
+
+def test_layer_decay_scales():
+    params = {
+        "patch_embed": {"kernel": jnp.zeros((2, 2))},
+        "cls_token": jnp.zeros((1, 1, 4)),
+        "blocks": {
+            "blocks_0": {"mixer": {"Wqkv": {"kernel": jnp.zeros((4, 12))}}},
+            "blocks_1": {"mixer": {"Wqkv": {"kernel": jnp.zeros((4, 12))}}},
+        },
+        "head": {"kernel": jnp.zeros((4, 2))},
+    }
+    scales = optim.layer_decay_scales(params, num_blocks=2, layer_decay=0.5)
+    # num_layers = 3; scale(layer_id) = 0.5 ** (3 - id)
+    assert scales["patch_embed"]["kernel"] == 0.5 ** 3
+    assert scales["blocks"]["blocks_0"]["mixer"]["Wqkv"]["kernel"] == 0.5 ** 2
+    assert scales["blocks"]["blocks_1"]["mixer"]["Wqkv"]["kernel"] == 0.5 ** 1
+    assert scales["head"]["kernel"] == 1.0
+
+
+def test_weight_decay_mask():
+    params = {
+        "pos_embed_spatial": jnp.zeros((1, 4, 8)),
+        "norm": {"scale": jnp.zeros((8,)), "bias": jnp.zeros((8,))},
+        "mlp": {"fc1": {"kernel": jnp.zeros((8, 32)), "bias": jnp.zeros((32,))}},
+    }
+    mask = optim.weight_decay_mask(params)
+    assert mask["pos_embed_spatial"] is False
+    assert mask["norm"]["scale"] is False
+    assert mask["mlp"]["fc1"]["kernel"] is True
+    assert mask["mlp"]["fc1"]["bias"] is False
+
+
+def test_warmup_half_cosine_shape():
+    import math
+    s = schedules.warmup_half_cosine(1e-3, 0.0, warmup_epochs=5,
+                                     total_epochs=50, steps_per_epoch=10)
+    assert float(s(0)) == 0.0
+    np.testing.assert_allclose(float(s(25)), 1e-3 * 2.5 / 5)
+    np.testing.assert_allclose(float(s(50)), 1e-3)  # end of warmup
+    # reference formula at epoch 27.5
+    epoch = 27.5
+    ref = 0.0 + (1e-3 - 0.0) * 0.5 * (1 + math.cos(math.pi * (epoch - 5) / 45))
+    np.testing.assert_allclose(float(s(275)), ref, rtol=1e-6)
+
+
+def test_spl_schedules():
+    assert schedules.spl_k_schedule(5, 0.7, 0.3, 100, 10) == 0.7
+    assert schedules.spl_k_schedule(100, 0.7, 0.3, 100, 10) < 0.31
+    assert schedules.mask_ratio_2d_schedule(5) == 0.75
+    assert abs(schedules.mask_ratio_2d_schedule(100) - 0.85) < 1e-6
+
+
+def test_metrics_multi_task_runs():
+    from octcubem_tpu.train import metrics
+    rng = np.random.default_rng(3)
+    y_true = (rng.random((40, 4)) > 0.5).astype(np.int64)
+    y_pred = rng.standard_normal((40, 6)).astype(np.float32)
+    m = metrics.compute_metrics("multi_task_default", y_true, y_pred)
+    assert set(metrics.METRIC_NAMES) == set(m.keys())
+    assert len(m["roc"]["classwise"]) == 3
+    assert 0 <= m["roc"]["macro"] <= 1
+
+
+def test_metrics_regression():
+    from octcubem_tpu.train import metrics
+    y = np.linspace(0, 1, 20)
+    m = metrics.compute_metrics("regression", y, y + 0.01)
+    assert m["pearson_r"] > 0.99 and m["r2"] > 0.98
