@@ -1,0 +1,225 @@
+"""Contrastive (COEM) training engine: CLIP losses, train/eval steps,
+retrieval metrics.
+
+Parity targets:
+- ClipLoss with cross-device feature gather (open_clip/loss.py:148-229):
+  under pjit the features are global arrays, so `img @ enf.T` over the
+  batch-sharded axis IS the gathered-logits computation — XLA inserts the
+  all-gather on ICI automatically, and it is differentiable by
+  construction (replaces torch.distributed.nn.all_gather).
+- ThreeModalityClipLoss (loss.py:232-388): 6 directed CE terms over 3
+  pairs, masked by per-sample modality-presence weights; pairs with no
+  valid samples contribute 0.
+- Feature-cached gradient accumulation (train_retclip.py:131-168): no-grad
+  feature pass over accumulation chunks, then per-chunk re-forward with
+  the cached features of the other chunks as negatives.
+- Retrieval metrics R@1/5/10, mean/median rank, both directions
+  (train_retclip.py:409-425) + duplicate-corrected variant (:427-469).
+- logit_scale clamp to ln(100) is enforced inside the model.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .train_state import TrainState
+from .mae_engine import optax_global_norm
+
+
+def _ce_rows(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+
+
+def clip_loss(img_feat: jnp.ndarray, enf_feat: jnp.ndarray,
+              logit_scale: jnp.ndarray) -> jnp.ndarray:
+    """Symmetric InfoNCE over the global batch."""
+    n = img_feat.shape[0]
+    logits = logit_scale * (img_feat.astype(jnp.float32)
+                            @ enf_feat.astype(jnp.float32).T)
+    labels = jnp.arange(n)
+    return (_ce_rows(logits, labels).mean()
+            + _ce_rows(logits.T, labels).mean()) / 2
+
+
+def three_modality_clip_loss(img, enf1, enf2, scale, scale1, scale2,
+                             w1, w2) -> jnp.ndarray:
+    """6 directed CE terms masked by modality presence (loss.py:342-388).
+
+    w1/w2: [N] float presence weights for enface1/enface2.  Pair scales
+    follow the reference assignment: image-enf1 -> scale, image-enf2 ->
+    scale1, enf1-enf2 -> scale2.
+    """
+    n = img.shape[0]
+    labels = jnp.arange(n)
+    img = img.astype(jnp.float32)
+    enf1 = enf1.astype(jnp.float32)
+    enf2 = enf2.astype(jnp.float32)
+
+    def masked_pair(a, b, s, w):
+        la = _ce_rows(s * a @ b.T, labels) * w
+        lb = _ce_rows(s * b @ a.T, labels) * w
+        tot = w.sum()
+        safe = jnp.maximum(tot, 1.0)
+        return (jnp.where(tot == 0, 0.0, la.sum() / safe),
+                jnp.where(tot == 0, 0.0, lb.sum() / safe))
+
+    l1a, l1b = masked_pair(img, enf1, scale, w1)
+    l2a, l2b = masked_pair(img, enf2, scale1, w2)
+    l3a, l3b = masked_pair(enf1, enf2, scale2, w1 * w2)
+    return (l1a + l1b + l2a + l2b + l3a + l3b) / 6
+
+
+# ------------------------------------------------------------- train steps
+
+def make_clip_train_step(model, tx, three_mod: bool = False):
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, batch):
+        rng, new_rng = jax.random.split(state.rng)
+
+        def loss_fn(params):
+            if three_mod:
+                img, e1, e2, s0, s1, s2 = model.apply(
+                    params, batch["image"], batch["enface1"],
+                    batch["enface2"], deterministic=False,
+                    rngs={"dropout": rng})
+                return three_modality_clip_loss(
+                    img, e1, e2, s0, s1, s2,
+                    batch["weight1"], batch["weight2"])
+            img, enf, scale = model.apply(
+                params, batch["image"], batch["enface"], deterministic=False,
+                rngs={"dropout": rng})
+            return clip_loss(img, enf, scale)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        state = state.apply_gradients(tx, grads).replace(rng=new_rng)
+        return state, {"loss": loss, "grad_norm": optax_global_norm(grads)}
+
+    return step
+
+
+def make_clip_accum_train_step(model, tx, accum_freq: int):
+    """Feature-cached gradient accumulation (the OpenCLIP algorithm,
+    train_retclip.py:131-168): encode all chunks without grad, then for
+    each chunk re-encode with grad and splice its features into the cached
+    bank so every chunk sees the full effective batch as negatives.
+
+    batch tensors have leading dim [accum_freq, chunk, ...].
+    """
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, batch):
+        rng, new_rng = jax.random.split(state.rng)
+
+        def encode(params, img, enf, r):
+            return model.apply(params, img, enf, deterministic=False,
+                               rngs={"dropout": r})
+
+        rngs = jax.random.split(rng, accum_freq)
+        # pass 1: cached features, no grad
+        def enc_chunk(i):
+            img, enf, _ = encode(state.params, batch["image"][i],
+                                 batch["enface"][i], rngs[i])
+            return img, enf
+
+        cached_img, cached_enf = jax.lax.map(
+            lambda i: enc_chunk(i), jnp.arange(accum_freq))
+
+        def chunk_loss(params, i):
+            img_i, enf_i, scale = encode(params, batch["image"][i],
+                                         batch["enface"][i], rngs[i])
+            img_all = jax.lax.dynamic_update_index_in_dim(
+                cached_img, img_i, i, 0).reshape(-1, img_i.shape[-1])
+            enf_all = jax.lax.dynamic_update_index_in_dim(
+                cached_enf, enf_i, i, 0).reshape(-1, enf_i.shape[-1])
+            return clip_loss(img_all, enf_all, scale)
+
+        def accum(i, acc):
+            grads, loss = acc
+            l, g = jax.value_and_grad(chunk_loss)(state.params, i)
+            return (jax.tree.map(jnp.add, grads, g), loss + l)
+
+        zero = jax.tree.map(jnp.zeros_like, state.params)
+        grads, loss = jax.lax.fori_loop(0, accum_freq, accum, (zero, 0.0))
+        grads = jax.tree.map(lambda g: g / accum_freq, grads)
+        state = state.apply_gradients(tx, grads).replace(rng=new_rng)
+        return state, {"loss": loss / accum_freq,
+                       "grad_norm": optax_global_norm(grads)}
+
+    return step
+
+
+# --------------------------------------------------------------- retrieval
+
+def retrieval_metrics(img_feat: np.ndarray, enf_feat: np.ndarray,
+                      prefix_a: str = "image_to_enface",
+                      prefix_b: str = "enface_to_image") -> dict:
+    """R@1/5/10 + mean/median rank, both directions
+    (train_retclip.py:409-425)."""
+    logits = img_feat @ enf_feat.T
+    out = {}
+    for name, mat in ((prefix_a, logits), (prefix_b, logits.T)):
+        n = mat.shape[0]
+        order = np.argsort(-mat, axis=1)
+        rank = np.argmax(order == np.arange(n)[:, None], axis=1)
+        out[f"{name}_mean_rank"] = float(rank.mean() + 1)
+        out[f"{name}_median_rank"] = float(np.floor(np.median(rank)) + 1)
+        for k in (1, 5, 10):
+            out[f"{name}_R@{k}"] = float((rank < k).mean())
+    return out
+
+
+def retrieval_metrics_dup_corrected(img_feat, enf_feat, group_ids) -> dict:
+    """Duplicate-corrected retrieval (train_retclip.py:427-469): a
+    retrieved item counts as correct if it belongs to the same group
+    (e.g. same patient/eye) as the query."""
+    group_ids = np.asarray(group_ids)
+    logits = img_feat @ enf_feat.T
+    out = {}
+    for name, mat in (("image_to_enface", logits), ("enface_to_image", logits.T)):
+        n = mat.shape[0]
+        order = np.argsort(-mat, axis=1)
+        same = group_ids[order] == group_ids[:, None]
+        rank = np.argmax(same, axis=1)
+        out[f"{name}_corrected_mean_rank"] = float(rank.mean() + 1)
+        out[f"{name}_corrected_median_rank"] = float(np.floor(np.median(rank)) + 1)
+        for k in (1, 5, 10):
+            out[f"{name}_corrected_R@{k}"] = float((rank < k).mean())
+    return out
+
+
+def evaluate_retrieval(model, params, batches, three_mod: bool = False) -> dict:
+    """Concat features over a val loader and compute retrieval metrics
+    (train_retclip.py:243-403).  For 3-mod, metrics for all 3 pairs
+    (train_retclip_3modalities.py:371-392)."""
+    feats: dict[str, list] = {}
+
+    if three_mod:
+        fwd = jax.jit(lambda p, i, a, b: model.apply(p, i, a, b)[:3])
+        for batch in batches:
+            img, e1, e2 = fwd(params, batch["image"], batch["enface1"],
+                              batch["enface2"])
+            for k, v in (("image", img), ("enface1", e1), ("enface2", e2)):
+                feats.setdefault(k, []).append(np.asarray(v))
+        f = {k: np.concatenate(v) for k, v in feats.items()}
+        out = {}
+        out.update(retrieval_metrics(f["image"], f["enface1"],
+                                     "image_to_enface1", "enface1_to_image"))
+        out.update(retrieval_metrics(f["image"], f["enface2"],
+                                     "image_to_enface2", "enface2_to_image"))
+        out.update(retrieval_metrics(f["enface1"], f["enface2"],
+                                     "enface1_to_enface2", "enface2_to_enface1"))
+        return out
+
+    fwd = jax.jit(lambda p, i, e: model.apply(p, i, e)[:2])
+    for batch in batches:
+        img, enf = fwd(params, batch["image"], batch["enface"])
+        feats.setdefault("image", []).append(np.asarray(img))
+        feats.setdefault("enface", []).append(np.asarray(enf))
+    f = {k: np.concatenate(v) for k, v in feats.items()}
+    return retrieval_metrics(f["image"], f["enface"])

@@ -1,0 +1,163 @@
+import numpy as np
+import torch
+import torch.nn.functional as F
+import jax
+import jax.numpy as jnp
+
+from octcubem_tpu.models import coem
+from octcubem_tpu.train import clip_engine
+
+V_CFG = dict(num_frames=6, t_patch_size=3, img_size=32, patch_size=16,
+             in_chans=1, embed_dim=32, depth=2, num_heads=2)
+E_CFG = dict(img_size=32, patch_size=16, in_chans=3, embed_dim=32, depth=2,
+             num_heads=2)
+
+
+def _inputs(b=4):
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.standard_normal((b, 6, 32, 32, 1)), jnp.float32)
+    enf = jnp.asarray(rng.standard_normal((b, 32, 32, 3)), jnp.float32)
+    return img, enf
+
+
+def test_two_tower_forward():
+    m = coem.COEP2Tower(embed_dim=16, vision_cfg=V_CFG,
+                        enface_cfg=E_CFG, attn_impl="naive")
+    img, enf = _inputs()
+    params = m.init(jax.random.key(0), img, enf)
+    fi, fe, scale = m.apply(params, img, enf)
+    assert fi.shape == (4, 16) and fe.shape == (4, 16)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(fi), axis=-1), 1.0,
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(scale), 1 / 0.07, rtol=1e-5)
+
+
+def test_two_tower_single_modality():
+    m = coem.COEP2Tower(embed_dim=16, vision_cfg=V_CFG,
+                        enface_cfg=E_CFG, attn_impl="naive")
+    img, enf = _inputs()
+    params = m.init(jax.random.key(0), img, enf)
+    fi, fe, _ = m.apply(params, img, enf, single_modality="image")
+    assert fe is None and fi is not None
+
+
+def test_three_tower_modalities_differ():
+    m = coem.COEP3Tower(embed_dim=16, vision_cfg=V_CFG,
+                        enface_cfg={**E_CFG, "num_mod_head": 2},
+                        attn_impl="naive")
+    img, enf = _inputs()
+    params = m.init(jax.random.key(0), img, enf, enf)
+    fi, f1, f2, s0, s1, s2 = m.apply(params, img, enf, enf)
+    # same enface input through different mod heads -> different features
+    assert not np.allclose(np.asarray(f1), np.asarray(f2))
+
+
+def test_clip_loss_matches_torch():
+    rng = np.random.default_rng(1)
+    fi = rng.standard_normal((6, 8)).astype(np.float32)
+    fe = rng.standard_normal((6, 8)).astype(np.float32)
+    fi /= np.linalg.norm(fi, axis=-1, keepdims=True)
+    fe /= np.linalg.norm(fe, axis=-1, keepdims=True)
+    scale = 14.0
+    ti, te = torch.tensor(fi), torch.tensor(fe)
+    logits = scale * ti @ te.T
+    labels = torch.arange(6)
+    ref = (F.cross_entropy(logits, labels)
+           + F.cross_entropy(logits.T, labels)) / 2
+    ours = clip_engine.clip_loss(jnp.asarray(fi), jnp.asarray(fe),
+                                 jnp.asarray(scale))
+    np.testing.assert_allclose(float(ours), float(ref), rtol=1e-5)
+
+
+def test_three_mod_loss_masking():
+    rng = np.random.default_rng(2)
+    n, d = 6, 8
+    f = [rng.standard_normal((n, d)).astype(np.float32) for _ in range(3)]
+    f = [x / np.linalg.norm(x, axis=-1, keepdims=True) for x in f]
+    w1 = np.ones(n, np.float32)
+    w2 = np.zeros(n, np.float32)  # enface2 absent everywhere
+    loss = clip_engine.three_modality_clip_loss(
+        *(jnp.asarray(x) for x in f), 10.0, 10.0, 10.0,
+        jnp.asarray(w1), jnp.asarray(w2))
+    # pairs involving enface2 must contribute exactly 0
+    only12 = clip_engine.three_modality_clip_loss(
+        *(jnp.asarray(x) for x in f), 10.0, 10.0, 10.0,
+        jnp.asarray(w1), jnp.asarray(np.ones(n, np.float32)))
+    assert float(loss) > 0
+    # with w2=0: total = (l_it1 + l_t1i)/6; check equals clip-style pair
+    pair = clip_engine.clip_loss(jnp.asarray(f[0]), jnp.asarray(f[1]), 10.0)
+    np.testing.assert_allclose(float(loss), float(pair) * 2 / 6, rtol=1e-5)
+    assert float(only12) != float(loss)
+
+
+def test_retrieval_metrics_perfect_and_random():
+    f = np.eye(8, 16).astype(np.float32)
+    m = clip_engine.retrieval_metrics(f, f)
+    assert m["image_to_enface_R@1"] == 1.0
+    assert m["image_to_enface_mean_rank"] == 1.0
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((50, 4)).astype(np.float32)
+    b = rng.standard_normal((50, 4)).astype(np.float32)
+    m2 = clip_engine.retrieval_metrics(a, b)
+    assert m2["image_to_enface_R@1"] < 0.5
+
+
+def test_retrieval_dup_corrected():
+    f = np.eye(6, 8).astype(np.float32)
+    # two queries per group; exact match has same group -> rank 0
+    groups = np.array([0, 0, 1, 1, 2, 2])
+    m = clip_engine.retrieval_metrics_dup_corrected(f, f, groups)
+    assert m["image_to_enface_corrected_R@1"] == 1.0
+
+
+def test_clip_train_step_runs():
+    from octcubem_tpu.train import optim
+    from octcubem_tpu.train.train_state import TrainState
+
+    m = coem.COEP2Tower(embed_dim=16, vision_cfg=V_CFG,
+                        enface_cfg=E_CFG, attn_impl="naive")
+    img, enf = _inputs()
+    params = m.init(jax.random.key(0), img, enf)
+    tx = optim.build_adamw(params, 1e-4)
+    state = TrainState.create(params, tx, jax.random.key(1))
+    step = clip_engine.make_clip_train_step(m, tx)
+    state, metrics = step(state, {"image": img, "enface": enf})
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 1
+
+
+def test_clip_accum_matches_full_batch_loss():
+    """The feature-cached accumulation step must see the full effective
+    batch as negatives (loss equals the full-batch loss at the same
+    params)."""
+    from octcubem_tpu.train import optim
+    from octcubem_tpu.train.train_state import TrainState
+
+    m = coem.COEP2Tower(embed_dim=16, vision_cfg=V_CFG,
+                        enface_cfg=E_CFG, attn_impl="naive")
+    img, enf = _inputs(b=8)
+    params = m.init(jax.random.key(0), img, enf)
+    tx = optim.build_adamw(params, 0.0)  # lr 0: params unchanged
+    state = TrainState.create(params, tx, jax.random.key(1))
+    # compute the full-batch reference BEFORE the (donating) accum step
+    fi, fe, scale = m.apply(params, img, enf)
+    full = clip_engine.clip_loss(fi, fe, scale)
+
+    astep = clip_engine.make_clip_accum_train_step(m, tx, accum_freq=2)
+    batch = {"image": img.reshape(2, 4, 6, 32, 32, 1),
+             "enface": enf.reshape(2, 4, 32, 32, 3)}
+    _, ametrics = astep(state, batch)
+    np.testing.assert_allclose(float(ametrics["loss"]), float(full), rtol=1e-4)
+
+
+def test_classification_variants():
+    m = coem.COEP2TowerClassification(
+        embed_dim=16, num_classes=3, vision_cfg=V_CFG, enface_cfg=E_CFG,
+        attn_impl="naive")
+    img, enf = _inputs(2)
+    params = m.init(jax.random.key(0), img, enf)
+    out, scale = m.apply(params, img, enf)
+    assert out.shape == (2, 3)
+    out_im, _ = m.apply(params, img, enf, single_modality="image")
+    out_en, _ = m.apply(params, img, enf, single_modality="enface")
+    assert not np.allclose(np.asarray(out_im), np.asarray(out_en))
