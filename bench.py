@@ -29,6 +29,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compilation cache: survives backend restarts / chip recoveries
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 BATCH = 4
 FRAMES, IMG, PATCH, TPATCH = 60, 256, 16, 3
 MASK_RATIO = 0.90

@@ -1,0 +1,248 @@
+"""Downstream fine-tune entry point (single-fold / k-fold).
+
+Parity target: OCTCube/main_finetune_downstream_inhouse_singlefold.py
+(SURVEY §3.2): model dispatch, pretrained-checkpoint load with head strip
++ pos-embed interpolation, layer-decay AdamW, per-epoch train/val/test
+with best-AUC tracking and early stopping, metric CSVs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+class SyntheticCls3D:
+    def __init__(self, n, frames, size, n_label_cols, task_mode, seed=0):
+        self.n, self.frames, self.size = n, frames, size
+        self.n_label_cols = n_label_cols
+        self.task_mode = task_mode
+        self.seed = seed
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        rng = np.random.default_rng((self.seed, i))
+        vol = rng.random((self.frames, self.size, self.size, 1), np.float32)
+        if self.task_mode in ("multi_label",) or self.task_mode.startswith("multi_task"):
+            lab = (rng.random(self.n_label_cols) > 0.5).astype(np.float32)
+            if lab[1:].sum() > 0:
+                lab[0] = 0.0
+            else:
+                lab[0] = 1.0
+        elif self.task_mode == "regression":
+            lab = rng.standard_normal(1).astype(np.float32)
+        else:
+            lab = np.int64(rng.integers(0, self.n_label_cols))
+        return vol, lab
+
+
+def build_model(cfg, dtype):
+    from ..models import registry
+
+    kw = dict(num_classes=cfg.num_classes, drop_path_rate=cfg.drop_path,
+              dtype=dtype)
+    if cfg.model_family in ("vit_st", "vit_st_dropout"):
+        kw.update(num_frames=cfg.num_frames, t_patch_size=cfg.t_patch_size,
+                  img_size=cfg.input_size, in_chans=cfg.in_chans,
+                  global_pool=cfg.global_pool, sep_pos_embed=cfg.sep_pos_embed,
+                  cls_embed=cfg.cls_embed)
+    elif cfg.model_family == "vit_3dhead":
+        kw.update(img_size=cfg.input_size, in_chans=cfg.in_chans,
+                  global_pool=cfg.global_pool)
+    else:  # vit2d
+        kw.update(img_size=cfg.input_size, in_chans=cfg.in_chans,
+                  global_pool=cfg.global_pool)
+    return registry.create_model(cfg.model_family, cfg.model, **kw)
+
+
+def run_fold(cfg, model, datasets, log, fold_tag=""):
+    import jax
+    import jax.numpy as jnp
+
+    from ..core import mesh as meshlib, checkpoint as ckpt_lib
+    from ..compat.torch_import import load_torch_checkpoint, import_state_dict
+    from ..data import loader as loader_lib
+    from ..train import optim, schedules, losses
+    from ..train.train_state import TrainState
+    from ..train.finetune_engine import (
+        make_finetune_train_step, make_predict_step, BestTracker, evaluate,
+        write_metric_csvs)
+    from ..train.mae_engine import shard_batch
+    from ..utils.logging import MetricLogger, JsonlLogger
+
+    ds_train, ds_val, ds_test = datasets
+    mesh = meshlib.make_mesh(n_data=cfg.n_data, n_fsdp=cfg.n_fsdp)
+    n_data = mesh.shape[meshlib.DATA_AXIS]
+    batch = max(n_data, (cfg.batch_size // n_data) * n_data)
+    ld_tr = loader_lib.Loader(ds_train, batch, num_workers=4, seed=cfg.seed)
+    ld_va = loader_lib.Loader(ds_val, batch, shuffle=False, drop_last=False,
+                              num_workers=2)
+    ld_te = loader_lib.Loader(ds_test, batch, shuffle=False, drop_last=False,
+                              num_workers=2)
+
+    sample, _ = ds_train[0]
+    x0 = jnp.zeros((batch,) + sample.shape)
+    params = jax.jit(model.init)(jax.random.key(cfg.seed), x0)
+    if cfg.finetune_ckpt:
+        sd = load_torch_checkpoint(cfg.finetune_ckpt)
+        # strip the head (reference strips mismatched heads, main:538-581)
+        params, report = import_state_dict(params, sd, drop_keys=("head",),
+                                           strict=False)
+        log.info(f"loaded {cfg.finetune_ckpt}; new params: {report['missing']}")
+
+    lr = schedules.scale_base_lr(cfg.blr, batch)
+    steps = max(1, len(ld_tr))
+    sched = schedules.warmup_half_cosine(lr, cfg.min_lr, cfg.warmup_epochs,
+                                         cfg.epochs, steps)
+    tx = optim.build_adamw(params, sched, cfg.weight_decay,
+                           layer_decay=cfg.layer_decay,
+                           num_blocks=getattr(model, "depth", 24),
+                           clip_grad=cfg.clip_grad)
+    state = TrainState.create(params, tx, jax.random.key(cfg.seed + 1))
+
+    crit = losses.make_criterion(cfg.task_mode, smoothing=cfg.smoothing,
+                                 use_focal=cfg.use_focal)
+    step_fn = make_finetune_train_step(model, tx, crit)
+    predict = make_predict_step(model)
+    tracker = BestTracker(patience=cfg.early_stop_patience)
+    jsonl = JsonlLogger(cfg.output_dir, f"log{fold_tag}.txt")
+    ckpt_dir = os.path.join(cfg.output_dir, f"ckpt{fold_tag}")
+
+    def eval_batches(ld):
+        for x, y in ld:
+            yield jnp.asarray(x), y
+
+    best_test = None
+    with mesh:
+        for epoch in range(cfg.epochs):
+            ld_tr.set_epoch(epoch)
+            meter = MetricLogger()
+            n_nan = 0
+            for x, y in meter.log_every(ld_tr, 10, f"Epoch [{epoch}]{fold_tag}",
+                                        logger=log):
+                b = shard_batch(jnp.asarray(x), mesh)
+                state, m = step_fn(state, b, jnp.asarray(y))
+                if not bool(m["finite"]):
+                    n_nan += 1
+                meter.update(loss=float(m["loss"]) if bool(m["finite"]) else 0.0)
+            val_metrics, _, _ = evaluate(predict, state.params,
+                                         eval_batches(ld_va), cfg.task_mode)
+            improved = tracker.update(epoch, val_metrics)
+            record = {"epoch": epoch,
+                      "train_loss": meter.meters["loss"].global_avg,
+                      "val_auc": val_metrics.get("roc", {}).get("macro"),
+                      "nan_steps": n_nan, "best": improved}
+            if improved:
+                ckpt_lib.save_checkpoint(ckpt_dir, epoch, state,
+                                         {"epoch": epoch}, keep_last=1)
+                test_metrics, yt, yp = evaluate(predict, state.params,
+                                                eval_batches(ld_te),
+                                                cfg.task_mode)
+                tracker.best_test_metrics = test_metrics
+                best_test = test_metrics
+                write_metric_csvs(val_metrics, cfg.output_dir, f"val{fold_tag}")
+                write_metric_csvs(test_metrics, cfg.output_dir, f"test{fold_tag}")
+                record["test_auc"] = test_metrics.get("roc", {}).get("macro")
+            jsonl.write(record)
+            log.info(f"epoch {epoch}: {record}")
+            if tracker.should_stop:
+                log.info(f"early stop at epoch {epoch}")
+                break
+    return tracker, best_test
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser("OCTCube-TPU downstream fine-tune")
+    parser.add_argument("--preset", default="octcube_multitask")
+    parser.add_argument("--data_dir", default=None)
+    parser.add_argument("--synthetic", action="store_true")
+    parser.add_argument("--synthetic_n", type=int, default=32)
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--batch_size", type=int, default=None)
+    parser.add_argument("--output_dir", default=None)
+    parser.add_argument("--k_folds", type=int, default=None)
+    parser.add_argument("--tiny", action="store_true")
+    args = parser.parse_args(argv)
+
+    import jax.numpy as jnp
+    import dataclasses
+
+    from ..core.config import FinetuneConfig, load_config, to_json
+    from ..data import patients, transforms
+    from ..utils.logging import get_logger
+
+    overrides = {k: v for k, v in (
+        ("epochs", args.epochs), ("batch_size", args.batch_size),
+        ("output_dir", args.output_dir), ("k_folds", args.k_folds))
+        if v is not None}
+    cfg = load_config(FinetuneConfig, args.preset, **overrides)
+    if args.tiny:
+        cfg = dataclasses.replace(
+            cfg, num_frames=6, input_size=32, num_classes=6,
+            disease_list=("AMD", "DME", "POG"))
+    os.makedirs(cfg.output_dir, exist_ok=True)
+    log = get_logger("finetune", os.path.join(cfg.output_dir, "out.log"))
+    with open(os.path.join(cfg.output_dir, "args.json"), "w") as f:
+        f.write(to_json(cfg))
+
+    dtype = jnp.bfloat16 if cfg.precision == "bf16" else jnp.float32
+    if args.tiny:
+        from ..models.vit_st import VisionTransformerST
+        model = VisionTransformerST(
+            num_frames=cfg.num_frames, t_patch_size=3, img_size=cfg.input_size,
+            in_chans=1, num_classes=cfg.num_classes, embed_dim=32, depth=2,
+            num_heads=2, dtype=dtype, attn_impl="auto")
+    else:
+        model = build_model(cfg, dtype)
+
+    # ---- datasets
+    if args.synthetic or args.data_dir is None:
+        n_cols = 1 + len(cfg.disease_list)
+        full = SyntheticCls3D(args.synthetic_n, cfg.num_frames,
+                              cfg.input_size, n_cols, cfg.task_mode)
+        n = len(full)
+        idx = np.arange(n)
+        mk = lambda lo, hi: [full[i] for i in idx[lo:hi]]
+
+        class Slice:
+            def __init__(self, items):
+                self.items = items
+
+            def __len__(self):
+                return len(self.items)
+
+            def __getitem__(self, i):
+                return self.items[i]
+
+        folds = [(Slice(mk(0, n * 6 // 10)), Slice(mk(n * 6 // 10, n * 8 // 10)),
+                  Slice(mk(n * 8 // 10, n)))]
+    else:
+        visits = patients.scan_directory(args.data_dir)
+        _, label_fn = patients.build_labels(visits, cfg.task_mode,
+                                            disease_list=cfg.disease_list)
+        tr_t, va_t = transforms.create_3d_transforms(cfg.input_size,
+                                                     cfg.num_frames)
+        folds = []
+        for fold in range(max(1, cfg.k_folds)):
+            trv, vav, tev = patients.kfold_patient_split(
+                visits, max(2, cfg.k_folds), fold, seed=cfg.seed)
+            mk3 = lambda vs, t: patients.PatientDataset3D(
+                vs, label_fn, max_frames=cfg.num_frames, transform=t)
+            folds.append((mk3(trv, tr_t), mk3(vav, va_t), mk3(tev, va_t)))
+
+    results = []
+    for fold, datasets in enumerate(folds):
+        tag = f"_fold{fold}" if len(folds) > 1 else ""
+        tracker, test_metrics = run_fold(cfg, model, datasets, log, tag)
+        results.append((tracker.best_auc, tracker.best_epoch))
+        log.info(f"fold {fold}: best val AUC {tracker.best_auc:.4f} "
+                 f"@ epoch {tracker.best_epoch}")
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,207 @@
+"""Joint 3D+2D MAE pretraining entry point.
+
+Parity target: the full flow of Pre-training/
+main_pretrain_oph_joint_2d512_flash_attn.py (SURVEY §3.1): joint 3D/2D
+batches, blank-region pre-mask, SPL hardness updates + top-K reselection,
+per-iteration cosine LR, per-epoch checkpoints and log.txt JSON-lines.
+
+Data: a directory of patient PNG stacks (data/patients.py convention) or
+``--synthetic`` volumes (the COEM fork's synthetic mode, training/
+data.py:1036-1078, generalized here to 3D).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import time
+
+import numpy as np
+
+
+class SyntheticOCT3D:
+    def __init__(self, n, frames, size, seed=0):
+        self.n, self.frames, self.size = n, frames, size
+        self.seed = seed
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        rng = np.random.default_rng((self.seed, i))
+        vol = rng.random((self.frames, self.size, self.size, 1), np.float32)
+        return vol.astype(np.float32), np.int64(0)
+
+
+class SyntheticOCT2D:
+    def __init__(self, n, t_patch, size, seed=0):
+        self.n, self.t_patch, self.size = n, t_patch, size
+        self.seed = seed
+        self.names = [f"img{i}" for i in range(n)]
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        rng = np.random.default_rng((self.seed, i, 2))
+        img = rng.random((1, self.size, self.size, 1), np.float32)
+        frame = np.repeat(img, self.t_patch, axis=0)  # T = t_patch tube
+        return frame, self.names[i]
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser("OCTCube-TPU MAE pretraining")
+    parser.add_argument("--preset", default="vitl_joint_pretrain")
+    parser.add_argument("--data_dir", default=None)
+    parser.add_argument("--synthetic", action="store_true")
+    parser.add_argument("--synthetic_n", type=int, default=8)
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--batch_size", type=int, default=None)
+    parser.add_argument("--steps_per_epoch", type=int, default=None)
+    parser.add_argument("--output_dir", default=None)
+    parser.add_argument("--tiny", action="store_true",
+                        help="tiny model dims for smoke runs")
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..core.config import MAEPretrainConfig, load_config, to_json
+    from ..core import mesh as meshlib, checkpoint as ckpt_lib
+    from ..models import mae3d
+    from ..data import patients, transforms, loader as loader_lib, spl as spl_lib
+    from ..data.premask import compute_premask
+    from ..train import optim, schedules
+    from ..train.train_state import TrainState
+    from ..train.mae_engine import make_mae_train_step, shard_batch
+    from ..utils.logging import MetricLogger, JsonlLogger, get_logger
+
+    overrides = {k: v for k, v in (
+        ("epochs", args.epochs), ("batch_size", args.batch_size),
+        ("output_dir", args.output_dir)) if v is not None}
+    cfg = load_config(MAEPretrainConfig, args.preset, **overrides)
+    os.makedirs(cfg.output_dir, exist_ok=True)
+    log = get_logger("pretrain", os.path.join(cfg.output_dir, "out.log"))
+    with open(os.path.join(cfg.output_dir, "args.json"), "w") as f:
+        f.write(to_json(cfg))
+
+    if args.tiny:
+        model_kw = dict(input_size=32, high_res_input_size=64, embed_dim=64,
+                        depth=2, num_heads=2, decoder_embed_dim=32,
+                        decoder_depth=1, decoder_num_heads=2, num_frames=6,
+                        t_patch_size=3, pred_t_dim=6)
+    else:
+        model_kw = dict(input_size=cfg.input_size,
+                        high_res_input_size=cfg.high_res_input_size,
+                        num_frames=cfg.num_frames,
+                        t_patch_size=cfg.t_patch_size,
+                        pred_t_dim=cfg.pred_t_dim,
+                        norm_pix_loss=cfg.norm_pix_loss)
+    dtype = jnp.bfloat16 if cfg.precision == "bf16" else jnp.float32
+    model = mae3d.mae_vit_large_patch16(**model_kw, dtype=dtype,
+                                        remat=cfg.remat) \
+        if not args.tiny else mae3d.MaskedAutoencoderViT3D(
+            **model_kw, dtype=dtype, attn_impl="auto")
+    frames = model.num_frames
+    size = model.input_size
+    hi_size = model.high_res_input_size
+
+    # ---- data
+    if args.synthetic or args.data_dir is None:
+        ds3d = SyntheticOCT3D(args.synthetic_n, frames, size)
+        ds2d = SyntheticOCT2D(args.synthetic_n * 4, model.t_patch_size, hi_size)
+    else:
+        visits = patients.scan_directory(args.data_dir, "*.png")
+        _, label_fn = patients.build_labels(visits, "binary_cls")
+        tr, _ = transforms.create_3d_transforms(size, frames)
+        ds3d = patients.PatientDataset3D(visits, label_fn, max_frames=frames,
+                                         transform=tr)
+        ds2d = SyntheticOCT2D(64, model.t_patch_size, hi_size)
+    spl_state = spl_lib.SPLState(getattr(ds2d, "names", []))
+    mesh = meshlib.make_mesh(n_data=cfg.n_data, n_fsdp=cfg.n_fsdp)
+    n_data = mesh.shape[meshlib.DATA_AXIS]
+
+    def _round_to_mesh(b: int) -> int:
+        return max(n_data, (b // n_data) * n_data)
+
+    batch3d = _round_to_mesh(cfg.batch_size)
+    batch2d = _round_to_mesh(max(1, cfg.batch_size_2d // 16))
+    ld3 = loader_lib.Loader(ds3d, batch3d, num_workers=4)
+    ld2 = loader_lib.Loader(ds2d, batch2d, num_workers=2)
+    loader2_iter = loader_lib.cycle(ld2)
+    eff_batch = batch3d * cfg.accum_iter
+    lr = schedules.scale_base_lr(cfg.blr, eff_batch)
+    steps_per_epoch = args.steps_per_epoch or max(1, len(ld3))
+    sched = schedules.warmup_half_cosine(lr, cfg.min_lr, cfg.warmup_epochs,
+                                         cfg.epochs, steps_per_epoch)
+
+    x0 = jnp.zeros((batch3d, frames, size, size, 1))
+    params = jax.jit(lambda k, x: model.init(
+        {"params": k, "masking": k}, x, mask_ratio=cfg.mask_ratio))(
+            jax.random.key(cfg.seed), x0)
+    tx = optim.build_adamw(params, sched, cfg.weight_decay,
+                           clip_grad=cfg.clip_grad)
+    state = TrainState.create(params, tx, jax.random.key(cfg.seed + 1))
+
+    start_epoch = 0
+    ckpt_dir = os.path.join(cfg.output_dir, "ckpt")
+    if cfg.resume == "latest" and ckpt_lib.latest_step(ckpt_dir) is not None:
+        state, extra, step = ckpt_lib.restore_checkpoint(ckpt_dir, state)
+        start_epoch = (extra or {}).get("epoch", 0) + 1
+        log.info(f"resumed from epoch {start_epoch - 1}")
+
+    step_fn = make_mae_train_step(model, tx, joint=True)
+    patch_embed_fn = jax.jit(
+        lambda p, x: model.apply(p, x, method=model.forward_patch_embed))
+    jsonl = JsonlLogger(cfg.output_dir)
+
+    with mesh:
+        for epoch in range(start_epoch, cfg.epochs):
+            mask2d = schedules.mask_ratio_2d_schedule(
+                epoch, cfg.mask_ratio_2d_min, cfg.mask_ratio_2d_max,
+                cfg.epochs, cfg.warmup_epochs)
+            ld3.set_epoch(epoch)
+            meter = MetricLogger()
+            t0 = time.time()
+            for it, (vols, _) in enumerate(
+                    meter.log_every(ld3, 10, f"Epoch [{epoch}]", logger=log)):
+                if args.steps_per_epoch and it >= args.steps_per_epoch:
+                    break
+                imgs2d, names2d = next(loader2_iter)
+                b3 = shard_batch(jnp.asarray(vols), mesh)
+                b2 = shard_batch(jnp.asarray(imgs2d), mesh)
+                pre_mask = None
+                if cfg.use_premask:
+                    feat = patch_embed_fn(state.params, b3)
+                    pre_mask = compute_premask(feat, model.t_grid, model.grid)
+                state, metrics = step_fn(
+                    state, b3, mask_ratio=cfg.mask_ratio, batch2d=b2,
+                    mask_ratio_2d=round(mask2d, 4), pre_mask=pre_mask)
+                loss = float(metrics["loss"])
+                if not np.isfinite(loss):
+                    raise RuntimeError(f"Loss is {loss}, stopping training")
+                # SPL hardness: per-frame losses -> 2D image hardness
+                fl = np.asarray(metrics["frame_losses"]).mean(axis=1)
+                spl_state.update_hardness(list(names2d), fl[: len(names2d)])
+                meter.update(loss=loss, loss_3d=float(metrics["loss_3d"]),
+                             loss_2d=float(metrics["loss_2d"]),
+                             grad_norm=float(metrics["grad_norm"]))
+            k = schedules.spl_k_schedule(epoch, cfg.spl_k_max, cfg.spl_k_min,
+                                         cfg.epochs, cfg.warmup_epochs)
+            spl_state.update_spl(k)
+            spl_state.save(cfg.output_dir, epoch)
+            ckpt_lib.save_checkpoint(ckpt_dir, epoch, state,
+                                     {"epoch": epoch}, keep_last=3)
+            jsonl.write({"epoch": epoch,
+                         "train_loss": meter.meters["loss"].global_avg,
+                         "lr": float(sched(state.step)),
+                         "epoch_time_s": time.time() - t0,
+                         "spl_k": k, "mask_ratio_2d": mask2d})
+            log.info(f"epoch {epoch} done: {meter}")
+    log.info("pretraining complete")
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,218 @@
+"""Contrastive (retinal-COEM) training entry point.
+
+Parity target: retinal-COEM/src/training/main_retclip.py (SURVEY §3.3)
+and main_retclip_3modalities.py: tower init from pretrained checkpoints,
+LiT image-tower locking, per-step cosine LR, CLIP loss over the mesh,
+per-epoch retrieval eval, results.jsonl + retrieval pkl dump.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+
+import numpy as np
+
+
+class SyntheticPairs:
+    """OCT volume + enface image pairs (+ optional FAF with presence
+    weights), the synthetic analogue of training/data.py:1036-1078."""
+
+    def __init__(self, n, frames, oct_size, enf_size, three_mod=False, seed=0):
+        self.n, self.frames = n, frames
+        self.oct_size, self.enf_size = oct_size, enf_size
+        self.three_mod = three_mod
+        self.seed = seed
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        rng = np.random.default_rng((self.seed, i))
+        # paired samples share a latent pattern so retrieval can learn
+        latent = rng.random((8, 8, 1), np.float32)
+        up = np.kron(latent, np.ones((self.oct_size // 8, self.oct_size // 8, 1),
+                                     np.float32))
+        vol = np.repeat(up[None], self.frames, axis=0) \
+            + 0.1 * rng.random((self.frames, self.oct_size, self.oct_size, 1),
+                               np.float32)
+        upe = np.kron(latent, np.ones((self.enf_size // 8, self.enf_size // 8, 1),
+                                      np.float32))
+        enf = np.repeat(upe, 3, axis=-1) \
+            + 0.1 * rng.random((self.enf_size, self.enf_size, 3), np.float32)
+        if self.three_mod:
+            faf = enf[::-1].copy()
+            w = np.float32(rng.random() > 0.3)  # FAF present 70% of the time
+            return vol.astype(np.float32), enf.astype(np.float32), faf, w
+        return vol.astype(np.float32), enf.astype(np.float32)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser("OCTCube-TPU retclip training")
+    parser.add_argument("--preset", default="octcube_ir")
+    parser.add_argument("--model_config", default=None,
+                        help="COEM JSON config name/path (models/configs)")
+    parser.add_argument("--synthetic", action="store_true")
+    parser.add_argument("--synthetic_n", type=int, default=32)
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--batch_size", type=int, default=None)
+    parser.add_argument("--output_dir", default=None)
+    parser.add_argument("--evaluate_only", action="store_true")
+    parser.add_argument("--save_retrieval_results", action="store_true")
+    args = parser.parse_args(argv)
+
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+
+    from ..core.config import RetClipConfig, load_config, to_json
+    from ..core import mesh as meshlib, checkpoint as ckpt_lib
+    from ..models import registry, coem
+    from ..compat.torch_import import load_torch_checkpoint, import_state_dict
+    from ..data import loader as loader_lib
+    from ..train import optim, schedules, clip_engine
+    from ..train.train_state import TrainState
+    from ..train.mae_engine import shard_batch
+    from ..utils.logging import MetricLogger, JsonlLogger, get_logger, Throughput
+
+    overrides = {k: v for k, v in (
+        ("epochs", args.epochs), ("batch_size", args.batch_size),
+        ("output_dir", args.output_dir)) if v is not None}
+    if args.evaluate_only:
+        overrides["evaluate_only"] = True
+    cfg = load_config(RetClipConfig, args.preset, **overrides)
+    os.makedirs(cfg.output_dir, exist_ok=True)
+    log = get_logger("retclip", os.path.join(cfg.output_dir, "out.log"))
+    with open(os.path.join(cfg.output_dir, "params.txt"), "w") as f:
+        f.write(to_json(cfg))
+
+    dtype = jnp.bfloat16 if cfg.precision == "bf16" else jnp.float32
+    if args.model_config:
+        model = registry.create_coem_model(args.model_config, dtype=dtype,
+                                           remat=cfg.grad_checkpointing)
+        vcfg = model.vision_cfg or {}
+        ecfg = model.enface_cfg or {}
+    else:
+        vcfg, ecfg = dict(cfg.vision_cfg), dict(cfg.enface_cfg)
+        cls = coem.COEP3Tower if cfg.three_mod else coem.COEP2Tower
+        model = cls(embed_dim=cfg.embed_dim, vision_cfg=vcfg,
+                    enface_cfg=ecfg, dtype=dtype,
+                    remat=cfg.grad_checkpointing)
+    three_mod = isinstance(model, coem.COEP3Tower)
+    frames = vcfg.get("num_frames", 60)
+    osize = vcfg.get("img_size", 256)
+    esize = ecfg.get("img_size", 384)
+
+    ds = SyntheticPairs(args.synthetic_n, frames, osize, esize, three_mod)
+
+    mesh = meshlib.make_mesh(n_data=cfg.n_data, n_fsdp=cfg.n_fsdp)
+    n_data = mesh.shape[meshlib.DATA_AXIS]
+    batch = max(n_data, (cfg.batch_size // n_data) * n_data)
+    ld = loader_lib.Loader(ds, batch, num_workers=4, seed=cfg.seed)
+    ld_eval = loader_lib.Loader(ds, batch, shuffle=False, drop_last=False,
+                                num_workers=2)
+
+    def to_batch(items):
+        if three_mod:
+            vol, enf, faf, w = items
+            return {"image": jnp.asarray(vol), "enface1": jnp.asarray(enf),
+                    "enface2": jnp.asarray(faf),
+                    "weight1": jnp.ones(len(vol)), "weight2": jnp.asarray(w)}
+        vol, enf = items
+        return {"image": jnp.asarray(vol), "enface": jnp.asarray(enf)}
+
+    ex = to_batch(next(iter(ld_eval)))
+    init_args = ((ex["image"], ex["enface1"], ex["enface2"]) if three_mod
+                 else (ex["image"], ex["enface"]))
+    params = jax.jit(model.init)(jax.random.key(cfg.seed), *init_args)
+
+    # tower init from pretrained torch checkpoints (factory.py tower loads)
+    for ckpt_path, prefix in ((cfg.visual_init_ckpt, "visual/trunk"),
+                              (cfg.enface_init_ckpt, "enface/trunk")):
+        if ckpt_path:
+            sd = load_torch_checkpoint(ckpt_path)
+            sd = {f"{prefix}.{k}".replace("/", "."): v for k, v in sd.items()}
+            params, rep = import_state_dict(params, sd, strict=False,
+                                            drop_keys=("head",))
+            log.info(f"initialized {prefix} from {ckpt_path}")
+
+    # LiT locking: zero-lr for locked params via layer-scale tree
+    trainable_scales = None
+    if cfg.lock_image and hasattr(model, "visual"):
+        # unlocked groups = last `n` of the tower's lock groups
+        groups = coem.OCTTower(out_dim=cfg.embed_dim, **vcfg).lock_groups() \
+            if False else None
+        # simple policy: freeze the visual trunk except the last
+        # `lock_image_unlocked_groups` blocks + head (reference lock(),
+        # models_vit_st_flash_attn_nodrop.py:308-351)
+        import re
+
+        depth = vcfg.get("depth", 24)
+        n_unlocked = cfg.lock_image_unlocked_groups
+        first_unlocked_block = depth + 1 - (n_unlocked - 1)
+
+        def scale(path, leaf):
+            name = "/".join(getattr(k, "key", str(k)) for k in path)
+            if not name.startswith("visual/"):
+                return 1.0
+            if any(t in name for t in ("fc_aggregate_cls", "aggregate_cls_norm",
+                                       "head", "/norm/")):
+                return 1.0
+            m = re.search(r"blocks/blocks_(\d+)/", name)
+            if m and int(m.group(1)) + 1 >= first_unlocked_block:
+                return 1.0
+            return 0.0
+
+        trainable_scales = jax.tree_util.tree_map_with_path(scale, params)
+
+    steps_per_epoch = max(1, len(ld))
+    sched = schedules.clip_cosine_lr(cfg.lr, cfg.warmup_steps,
+                                     cfg.epochs * steps_per_epoch)
+    tx = optim.build_adamw(params, sched, cfg.weight_decay, betas=(0.9, 0.98))
+    if trainable_scales is not None:
+        import optax
+        tx = optax.chain(tx, optim.scale_by_tree(trainable_scales))
+    state = TrainState.create(params, tx, jax.random.key(cfg.seed + 1))
+    step_fn = clip_engine.make_clip_train_step(model, tx, three_mod=three_mod)
+    jsonl = JsonlLogger(cfg.output_dir, "results.jsonl")
+
+    def eval_epoch(epoch):
+        batches = [to_batch(b) for b in ld_eval]
+        metrics = clip_engine.evaluate_retrieval(model, state.params, batches,
+                                                 three_mod=three_mod)
+        jsonl.write({"epoch": epoch, **metrics})
+        if args.save_retrieval_results or cfg.save_retrieval_results:
+            with open(os.path.join(cfg.output_dir,
+                                   f"retrieval_results_{epoch}.pkl"), "wb") as f:
+                pickle.dump(metrics, f)
+        return metrics
+
+    if cfg.evaluate_only:
+        m = eval_epoch(0)
+        log.info(f"eval-only: {m}")
+        return m
+
+    with mesh:
+        for epoch in range(cfg.epochs):
+            ld.set_epoch(epoch)
+            meter = MetricLogger()
+            tput = Throughput()
+            for items in meter.log_every(ld, 10, f"Epoch [{epoch}]", logger=log):
+                b = {k: shard_batch(v, mesh) for k, v in to_batch(items).items()}
+                state, m = step_fn(state, b)
+                meter.update(loss=float(m["loss"]))
+                tput.update(batch)
+            metrics = eval_epoch(epoch)
+            if (epoch + 1) % cfg.save_frequency == 0:
+                ckpt_lib.save_checkpoint(
+                    os.path.join(cfg.output_dir, "ckpt"), epoch, state,
+                    {"epoch": epoch}, keep_last=cfg.keep_last)
+            log.info(f"epoch {epoch}: loss {meter.meters['loss'].global_avg:.4f} "
+                     f"{tput.rate:.1f} samples/s "
+                     f"R@1 {metrics.get('image_to_enface_R@1', metrics.get('image_to_enface1_R@1', 0)):.3f}")
+    return state
+
+
+if __name__ == "__main__":
+    main()

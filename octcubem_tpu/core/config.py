@@ -1,0 +1,184 @@
+"""Typed config system + named presets.
+
+Replaces the reference's per-entry-point argparse forests (~100-120 flags
+each, SURVEY §5.6) and the shell-script hyperparameter conventions.  Each
+preset mirrors a canonical reference script configuration and is cited.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Optional
+
+
+def _d(**kw):
+    return dataclasses.field(default_factory=lambda: dict(**kw))
+
+
+@dataclasses.dataclass
+class MAEPretrainConfig:
+    """Joint-res 3D MAE pretraining.
+
+    Preset 'vitl_joint' mirrors Pre-training/scripts/
+    run_chunks_pretraining_vitl_oph_joint_flash_attn.sh:25-58.
+    """
+
+    model: str = "flash_attn_mae_vit_large_patch16"
+    input_size: int = 256
+    high_res_input_size: int = 512
+    num_frames: int = 60
+    t_patch_size: int = 3
+    pred_t_dim: int = 60
+    mask_ratio: float = 0.90
+    mask_ratio_2d_min: float = 0.75
+    mask_ratio_2d_max: float = 0.85
+    norm_pix_loss: bool = False
+    batch_size: int = 1
+    batch_size_2d: int = 64
+    accum_iter: int = 1
+    epochs: int = 50
+    warmup_epochs: int = 1
+    blr: float = 1.6e-3
+    min_lr: float = 0.0
+    weight_decay: float = 0.05
+    clip_grad: Optional[float] = None
+    spl_k_max: float = 0.7
+    spl_k_min: float = 0.3
+    precision: str = "bf16"
+    remat: bool = False
+    seed: int = 0
+    output_dir: str = "./output_pretrain"
+    resume: Optional[str] = None
+    init_ckpt: Optional[str] = None
+    resume_type: str = "training_new"  # |retfound_2_flash_attn|imagenet_mae...
+    use_premask: bool = True
+    n_data: Optional[int] = None  # mesh data-parallel size (None = all)
+    n_fsdp: int = 1
+
+
+@dataclasses.dataclass
+class FinetuneConfig:
+    """Downstream fine-tune.
+
+    Preset 'octcube_multitask' mirrors OCTCube/scripts/Template/
+    multitask_cls.sh:6-38 (ViT-L 3D ST, 48x256², blr 5e-3, layer decay
+    0.65, wd 0.05, drop-path 0.2, batch 1).
+    """
+
+    model: str = "flash_attn_vit_large_patch16"
+    model_family: str = "vit_st"  # vit_st | vit_st_dropout | vit2d | vit_3dhead
+    task_mode: str = "multi_task_default"
+    num_classes: int = 16
+    num_frames: int = 48
+    t_patch_size: int = 3
+    input_size: int = 256
+    in_chans: int = 1
+    batch_size: int = 1
+    epochs: int = 50
+    warmup_epochs: int = 5
+    blr: float = 5e-3
+    min_lr: float = 1e-6
+    weight_decay: float = 0.05
+    layer_decay: float = 0.65
+    drop_path: float = 0.2
+    smoothing: float = 0.1
+    clip_grad: Optional[float] = None
+    use_focal: bool = False
+    global_pool: bool = True
+    sep_pos_embed: bool = True
+    cls_embed: bool = True
+    k_folds: int = 1
+    fold: int = 0
+    patience: Optional[int] = None
+    early_stop_patience: Optional[int] = None
+    precision: str = "bf16"
+    seed: int = 0
+    output_dir: str = "./output_finetune"
+    finetune_ckpt: Optional[str] = None  # pretrained checkpoint to load
+    eval_only: bool = False
+    disease_list: tuple = ("AMD", "DME", "POG", "ERM", "DR", "VD", "RAORVO", "RNV")
+    n_data: Optional[int] = None
+    n_fsdp: int = 1
+
+
+@dataclasses.dataclass
+class RetClipConfig:
+    """Contrastive (COEM) training.
+
+    Preset 'octcube_ir' mirrors retinal-COEM/src/scripts/retclip_train/
+    train_IR_512-MAE3D-nodrop-vit-large.sh:21-50 (bsz 32x4 accum 4,
+    lr 1e-4, 50 epochs, grad ckpt, lock-image 9 unlocked groups).
+    """
+
+    model: str = "vit_large_patch16_retclip"
+    embed_dim: int = 512
+    three_mod: bool = False
+    vision_cfg: dict = _d(num_frames=60, t_patch_size=3, img_size=256,
+                          patch_size=16, in_chans=1, embed_dim=1024,
+                          depth=24, num_heads=16)
+    enface_cfg: dict = _d(img_size=384, patch_size=16, in_chans=3,
+                          embed_dim=1024, depth=24, num_heads=16)
+    batch_size: int = 32
+    accum_freq: int = 4
+    epochs: int = 50
+    warmup_steps: int = 200
+    lr: float = 1e-4
+    weight_decay: float = 0.1
+    lock_image: bool = True
+    lock_image_unlocked_groups: int = 9
+    grad_checkpointing: bool = True
+    precision: str = "bf16"
+    seed: int = 0
+    output_dir: str = "./output_retclip"
+    resume: Optional[str] = None
+    visual_init_ckpt: Optional[str] = None   # OCTCube.pth
+    enface_init_ckpt: Optional[str] = None   # RETFound_cfp_weights.pth
+    save_frequency: int = 1
+    keep_last: Optional[int] = 5
+    evaluate_only: bool = False
+    save_retrieval_results: bool = False
+    n_data: Optional[int] = None
+    n_fsdp: int = 1
+
+
+@dataclasses.dataclass
+class InferConfig:
+    """Single-volume inference (inference_OCTCube.ipynb cell 4 defaults)."""
+
+    model: str = "flash_attn_vit_large_patch16"
+    ckpt: Optional[str] = None
+    t_patch_size: int = 3
+    num_frames: int = 48
+    input_size: int = 256
+    nb_classes: int = 16
+    global_pool: bool = True
+    sep_pos_embed: bool = True
+    cls_embed: bool = True
+    precision: str = "fp32"   # parity path: fp32 + highest matmul precision
+
+
+PRESETS: dict[str, Any] = {
+    "vitl_joint_pretrain": MAEPretrainConfig(),
+    "octcube_multitask": FinetuneConfig(),
+    "octcube_ir": RetClipConfig(),
+    "octcube_ef": RetClipConfig(three_mod=True),
+    "infer_8disease": InferConfig(),
+}
+
+
+def load_config(cls, path_or_preset: str, **overrides):
+    """Load from a preset name or a JSON file, with keyword overrides."""
+    if path_or_preset in PRESETS:
+        cfg = dataclasses.replace(PRESETS[path_or_preset])
+    else:
+        with open(path_or_preset) as f:
+            data = json.load(f)
+        cfg = cls(**data)
+    if overrides:
+        cfg = dataclasses.replace(cfg, **overrides)
+    return cfg
+
+
+def to_json(cfg) -> str:
+    return json.dumps(dataclasses.asdict(cfg), indent=2, default=str)

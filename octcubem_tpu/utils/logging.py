@@ -1,0 +1,182 @@
+"""Observability: windowed meters, epoch logging, TensorBoard, timing.
+
+Parity targets (SURVEY §2.10/§5.5): MetricLogger / SmoothedValue
+(OCTCube/util/misc.py:33-177), timestamped master printing (:179-193),
+log.txt JSON-lines per epoch (main_pretrain…py:654-667), TensorBoard
+scalars on the epoch_1000x pseudo-step (engine_finetune.py:471-477),
+samples/s meters (train_retclip.py:210-227).
+
+Single-process JAX runtime: "master-only" gating keys off
+jax.process_index() for multi-host runs.
+"""
+
+from __future__ import annotations
+
+import collections
+import datetime
+import json
+import logging
+import os
+import time
+from typing import Iterable
+
+
+def is_master() -> bool:
+    try:
+        import jax
+        return jax.process_index() == 0
+    except Exception:
+        return True
+
+
+def get_logger(name: str = "octcubem", log_file: str | None = None,
+               level=logging.INFO) -> logging.Logger:
+    logger = logging.getLogger(name)
+    if logger.handlers:
+        return logger
+    logger.setLevel(level)
+    fmt = logging.Formatter("[%(asctime)s] %(levelname)s %(message)s",
+                            "%Y-%m-%d %H:%M:%S")
+    sh = logging.StreamHandler()
+    sh.setFormatter(fmt)
+    logger.addHandler(sh)
+    if log_file and is_master():
+        os.makedirs(os.path.dirname(log_file) or ".", exist_ok=True)
+        fh = logging.FileHandler(log_file)
+        fh.setFormatter(fmt)
+        logger.addHandler(fh)
+    return logger
+
+
+class SmoothedValue:
+    """Windowed + global average meter (misc.py:33-100)."""
+
+    def __init__(self, window_size: int = 20, fmt: str = "{median:.4f} ({global_avg:.4f})"):
+        self.deque = collections.deque(maxlen=window_size)
+        self.total = 0.0
+        self.count = 0
+        self.fmt = fmt
+
+    def update(self, value, n: int = 1):
+        self.deque.append(float(value))
+        self.count += n
+        self.total += float(value) * n
+
+    @property
+    def median(self):
+        d = sorted(self.deque)
+        return d[len(d) // 2] if d else 0.0
+
+    @property
+    def avg(self):
+        return sum(self.deque) / len(self.deque) if self.deque else 0.0
+
+    @property
+    def global_avg(self):
+        return self.total / max(self.count, 1)
+
+    @property
+    def value(self):
+        return self.deque[-1] if self.deque else 0.0
+
+    def __str__(self):
+        return self.fmt.format(median=self.median, avg=self.avg,
+                               global_avg=self.global_avg, value=self.value)
+
+
+class MetricLogger:
+    def __init__(self, delimiter: str = "  "):
+        self.meters: dict[str, SmoothedValue] = collections.defaultdict(SmoothedValue)
+        self.delimiter = delimiter
+
+    def update(self, **kwargs):
+        for k, v in kwargs.items():
+            self.meters[k].update(float(v))
+
+    def __getattr__(self, attr):
+        if attr in self.meters:
+            return self.meters[attr]
+        raise AttributeError(attr)
+
+    def __str__(self):
+        return self.delimiter.join(f"{k}: {v}" for k, v in self.meters.items())
+
+    def log_every(self, iterable: Iterable, print_freq: int, header: str = "",
+                  total: int | None = None, logger=None):
+        """Iterate with iter-time / data-time / ETA logging
+        (misc.py:132-177)."""
+        log = (logger.info if logger else print) if is_master() else (lambda *a: None)
+        i = 0
+        if total is None:
+            total = len(iterable) if hasattr(iterable, "__len__") else None
+        start = time.time()
+        end = time.time()
+        iter_time = SmoothedValue(fmt="{avg:.4f}")
+        data_time = SmoothedValue(fmt="{avg:.4f}")
+        for obj in iterable:
+            data_time.update(time.time() - end)
+            yield obj
+            iter_time.update(time.time() - end)
+            if i % print_freq == 0 or (total and i == total - 1):
+                if total:
+                    eta = iter_time.global_avg * (total - i)
+                    eta_str = str(datetime.timedelta(seconds=int(eta)))
+                    log(f"{header} [{i}/{total}] eta: {eta_str} {self} "
+                        f"time: {iter_time} data: {data_time}")
+                else:
+                    log(f"{header} [{i}] {self} time: {iter_time} data: {data_time}")
+            i += 1
+            end = time.time()
+        dt = time.time() - start
+        log(f"{header} Total time: {datetime.timedelta(seconds=int(dt))} "
+            f"({dt / max(i, 1):.4f} s / it)")
+
+
+class JsonlLogger:
+    """log.txt JSON-lines per epoch (main_pretrain…py:654-667)."""
+
+    def __init__(self, out_dir: str, filename: str = "log.txt"):
+        os.makedirs(out_dir, exist_ok=True)
+        self.path = os.path.join(out_dir, filename)
+
+    def write(self, record: dict):
+        if not is_master():
+            return
+        with open(self.path, "a") as f:
+            f.write(json.dumps(record, default=float) + "\n")
+
+
+class TBWriter:
+    """TensorBoard writer with the reference's epoch_1000x pseudo-step."""
+
+    def __init__(self, log_dir: str):
+        self.writer = None
+        if is_master():
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self.writer = SummaryWriter(log_dir=log_dir)
+            except Exception:
+                self.writer = None
+
+    def scalar(self, tag: str, value, epoch_frac: float):
+        if self.writer is not None:
+            self.writer.add_scalar(tag, float(value), int(epoch_frac * 1000))
+
+    def flush(self):
+        if self.writer is not None:
+            self.writer.flush()
+
+
+class Throughput:
+    """samples/s meter (train_retclip.py:210-227)."""
+
+    def __init__(self):
+        self.t0 = time.time()
+        self.samples = 0
+
+    def update(self, n: int):
+        self.samples += n
+
+    @property
+    def rate(self) -> float:
+        return self.samples / max(time.time() - self.t0, 1e-9)
