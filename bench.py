@@ -33,7 +33,10 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-BATCH = 4
+import os
+
+BATCH = int(os.environ.get("BENCH_BATCH", "4"))
+REMAT = os.environ.get("BENCH_REMAT", "0") == "1"
 FRAMES, IMG, PATCH, TPATCH = 60, 256, 16, 3
 MASK_RATIO = 0.90
 STEPS = 8
@@ -73,7 +76,7 @@ def main():
     model = mae3d.flash_attn_mae_vit_large_patch16(
         num_frames=FRAMES, t_patch_size=TPATCH, pred_t_dim=FRAMES,
         input_size=IMG, high_res_input_size=512, in_chans=1,
-        dtype=jnp.bfloat16, attn_impl="auto",
+        dtype=jnp.bfloat16, attn_impl="auto", remat=REMAT,
     )
     x = jax.random.normal(jax.random.key(0), (BATCH, FRAMES, IMG, IMG, 1),
                           jnp.float32)
@@ -116,6 +119,7 @@ def main():
         "vs_baseline": round(vols_per_sec / a100_est, 3),
         "step_time_ms": round(step_time * 1000, 1),
         "batch": BATCH,
+        "remat": REMAT,
         "mfu": round(mfu, 4),
         "flops_per_volume_T": round(flops_per_vol / 1e12, 3),
         "baseline_note": "A100 est = 35% MFU of 312 TF fp16 on same FLOPs",

@@ -122,14 +122,20 @@ def main(argv=None):
     mesh = meshlib.make_mesh(n_data=cfg.n_data, n_fsdp=cfg.n_fsdp)
     n_data = mesh.shape[meshlib.DATA_AXIS]
 
-    def _round_to_mesh(b: int) -> int:
+    def _round_to_mesh(b: int, n_items: int) -> int:
+        b = min(b, n_items)  # never a batch larger than the dataset
+        if n_items < n_data:
+            raise ValueError(
+                f"dataset has {n_items} items but the mesh needs a batch "
+                f"divisible by {n_data} devices")
         return max(n_data, (b // n_data) * n_data)
 
-    batch3d = _round_to_mesh(cfg.batch_size)
-    batch2d = _round_to_mesh(max(1, cfg.batch_size_2d // 16))
+    batch3d = _round_to_mesh(cfg.batch_size, len(ds3d))
+    batch2d = _round_to_mesh(max(1, cfg.batch_size_2d // 16), len(ds2d))
     ld3 = loader_lib.Loader(ds3d, batch3d, num_workers=4)
     ld2 = loader_lib.Loader(ds2d, batch2d, num_workers=2)
     loader2_iter = loader_lib.cycle(ld2)
+    assert len(ld3) > 0, "empty train loader (batch larger than dataset?)"
     eff_batch = batch3d * cfg.accum_iter
     lr = schedules.scale_base_lr(cfg.blr, eff_batch)
     steps_per_epoch = args.steps_per_epoch or max(1, len(ld3))

@@ -194,6 +194,46 @@ def _unflatten(flat: dict[tuple, Any]) -> dict:
     return tree
 
 
+def convert_retfound_2d_state_dict(
+    sd: Mapping[str, np.ndarray], t_patch_size: int, target_grid: int,
+    duplicate_high_res: bool = True,
+) -> dict[str, np.ndarray]:
+    """RETFound / ImageNet-MAE 2D checkpoint -> joint-res 3D MAE layout.
+
+    Reproduces the reference resume_type='retfound_2_flash_attn' chain
+    (Pre-training/custom_util/misc.py:509-621, 699-726 +
+    convert_patchembed_2Dto3D):
+    - pos_embed [1, 1+196, D] -> pos_embed_class + pos_embed_spatial
+      (bicubic 14x14 -> target grid);
+    - Conv2d patch embed [D, C, p, p] -> Conv3d [D, C, t, p, p] inflated by
+      repeating over t and dividing by t;
+    - optional duplication into high_res_patch_embed.
+    pos_embed_temporal / decoder params absent from 2D checkpoints stay at
+    init (reported as 'missing' by import_state_dict).
+    """
+    out = dict(sd)
+    for prefix in ("", "decoder_"):
+        key = f"{prefix}pos_embed"
+        if key in out:
+            pe = np.asarray(out.pop(key))
+            cls, spatial = pe[:, :1], pe[:, 1:]
+            grid0 = int(round(spatial.shape[1] ** 0.5))
+            spatial = _interp_spatial(spatial, target_grid ** 2, 0)
+            out[f"{prefix}pos_embed_class"] = cls
+            out[f"{prefix}pos_embed_spatial"] = spatial
+    if "patch_embed.proj.weight" in out:
+        w2d = np.asarray(out["patch_embed.proj.weight"])
+        if w2d.ndim == 4:
+            w3d = np.repeat(w2d[:, :, None], t_patch_size, axis=2) / t_patch_size
+            out["patch_embed.proj.weight"] = w3d
+            if duplicate_high_res:
+                out["high_res_patch_embed.proj.weight"] = w3d
+                if "patch_embed.proj.bias" in out:
+                    out["high_res_patch_embed.proj.bias"] = out[
+                        "patch_embed.proj.bias"]
+    return out
+
+
 def import_state_dict(
     params: Mapping,
     state_dict: Mapping[str, np.ndarray],

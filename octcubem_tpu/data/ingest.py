@@ -34,7 +34,14 @@ DEVICE_NORMALIZATION = {
 def load_frame_stack(paths: list[str], mode: str = "gray",
                      downsample_width: bool = True) -> np.ndarray:
     """Load ordered PNG frames -> [T, H, W] (gray) or [T, H, W, 3] float in
-    [0, 1]."""
+    [0, 1].  Grayscale stacks go through the native threaded C++ decoder
+    when available (octcubem_tpu/native), falling back to PIL."""
+    if mode == "gray" and paths and paths[0].endswith(".png"):
+        from .. import native
+
+        vol = native.load_png_stack_native(paths, downsample_width)
+        if vol is not None:
+            return vol
     from PIL import Image
 
     frames = []

@@ -31,6 +31,7 @@ class VisionTransformer2D(nn.Module):
     drop_path_rate: float = 0.0
     global_pool: bool = True
     parity: str = "standard"
+    capture_cam: bool = False
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
     remat: bool = False
@@ -48,7 +49,8 @@ class VisionTransformer2D(nn.Module):
         self.blocks = TransformerStack(
             self.depth, self.embed_dim, self.num_heads, self.mlp_ratio,
             self.qkv_bias, self.drop_path_rate, dtype=self.dtype,
-            attn_impl=self.attn_impl, parity=self.parity, remat=self.remat)
+            attn_impl=self.attn_impl, parity=self.parity, remat=self.remat,
+            capture_cam=self.capture_cam)
         # global_pool uses fc_norm; cls path uses norm (models_vit.py:22-53)
         self.fc_norm = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32)
         self.norm = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32)

@@ -45,7 +45,13 @@ class VisionTransformerST(nn.Module):
     cls_embed: bool = True
     global_pool: bool = True
     head_type: str = "aggregate"  # 'aggregate' (nodrop) | 'dropout'
+    # joint high-res variant (models_vit_st_joint_flash_attn.py:74-120):
+    # when set, a second 512²-capable patch embed is added and the spatial
+    # pos embed is stored at the high-res grid, bicubically pooled down for
+    # low-res inputs
+    high_res_input_size: int | None = None
     parity: str = "flash"
+    capture_cam: bool = False
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
     remat: bool = False
@@ -55,8 +61,14 @@ class VisionTransformerST(nn.Module):
             self.img_size, self.patch_size, self.in_chans, self.embed_dim,
             self.num_frames, self.t_patch_size, dtype=self.dtype,
         )
+        if self.high_res_input_size is not None:
+            self.high_res_patch_embed = PatchEmbed3D(
+                self.high_res_input_size, self.patch_size, self.in_chans,
+                self.embed_dim, self.num_frames, self.t_patch_size,
+                dtype=self.dtype)
         t_grid = self.num_frames // self.t_patch_size
-        grid = self.img_size // self.patch_size
+        grid = (self.img_size if self.high_res_input_size is None
+                else self.high_res_input_size) // self.patch_size
         if self.cls_embed:
             self.cls_token = self.param(
                 "cls_token", nn.initializers.zeros, (1, 1, self.embed_dim))
@@ -80,6 +92,7 @@ class VisionTransformerST(nn.Module):
             self.depth, self.embed_dim, self.num_heads, self.mlp_ratio,
             self.qkv_bias, self.drop_path_rate, dtype=self.dtype,
             attn_impl=self.attn_impl, parity=self.parity, remat=self.remat,
+            capture_cam=self.capture_cam,
         )
         self.norm = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32)
         if self.head_type == "aggregate":
@@ -89,11 +102,19 @@ class VisionTransformerST(nn.Module):
             self.num_classes, dtype=self.dtype,
             kernel_init=nn.initializers.normal(0.02))
 
-    def _pos_embed(self):
+    def _pos_embed(self, input_grid: int):
         t_grid = self.num_frames // self.t_patch_size
-        l = (self.img_size // self.patch_size) ** 2
+        l = input_grid ** 2
         if self.sep_pos_embed:
-            pos = (jnp.tile(self.pos_embed_spatial, (1, t_grid, 1))
+            spat = self.pos_embed_spatial
+            stored_grid = int(round(spat.shape[1] ** 0.5))
+            if stored_grid != input_grid:
+                from ..ops.resize import resize_grid_bicubic
+                d = spat.shape[-1]
+                spat = resize_grid_bicubic(
+                    spat.reshape(1, stored_grid, stored_grid, d),
+                    (input_grid, input_grid)).reshape(1, l, d)
+            pos = (jnp.tile(spat, (1, t_grid, 1))
                    + jnp.repeat(self.pos_embed_temporal, l, axis=1))
             if self.cls_embed:
                 pos = jnp.concatenate([self.pos_embed_class, pos], axis=1)
@@ -104,14 +125,23 @@ class VisionTransformerST(nn.Module):
     def forward_features(self, x, deterministic: bool = True,
                          return_hidden: bool = False):
         """x: [B, T, H, W, C] -> pooled feature [B, D] (pre-head)."""
-        x = self.patch_embed(x)
+        input_grid = x.shape[2] // self.patch_size
+        if self.high_res_input_size is not None:
+            # touch both embeds so init materializes both param sets
+            _ = (self.patch_embed.kernel, self.high_res_patch_embed.kernel)
+            pe = (self.high_res_patch_embed
+                  if x.shape[2] == self.high_res_input_size
+                  else self.patch_embed)
+            x = pe(x)
+        else:
+            x = self.patch_embed(x)
         b, t, l, d = x.shape
         x = x.reshape(b, t * l, d)
         if self.cls_embed:
             cls = jnp.broadcast_to(
                 self.cls_token.astype(x.dtype), (b, 1, d))
             x = jnp.concatenate([cls, x], axis=1)
-        x = x + self._pos_embed().astype(x.dtype)
+        x = x + self._pos_embed(input_grid).astype(x.dtype)
         if return_hidden:
             return self.blocks(x, deterministic, return_hidden=True)
         x = self.blocks(x, deterministic)

@@ -129,6 +129,10 @@ class TransformerStack(nn.Module):
     attn_impl: str = "auto"
     parity: str = "flash"
     remat: bool = False
+    # Grad-CAM support: insert zero-valued perturbation points after each
+    # block (flax perturb); gradients w.r.t. the 'perturbations' collection
+    # are exactly dScore/dActivation (see utils/saliency.py)
+    capture_cam: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True, return_hidden: bool = False):
@@ -147,6 +151,16 @@ class TransformerStack(nn.Module):
                 dpr[i], self.drop, self.dtype, self.attn_impl, name=f"blocks_{i}"
             )
             x, m = blk(x, deterministic)
+            if self.capture_cam:
+                # perturb the tensor that actually carries the signal: for
+                # flash parity the LAST block's output is its MLP branch
+                # (the running hidden x is dead there)
+                if i == self.depth - 1 and self.parity == "flash":
+                    m = self.perturb(f"cam_{i}", m)
+                    self.sow("intermediates", f"cam_act_{i}", m)
+                else:
+                    x = self.perturb(f"cam_{i}", x)
+                    self.sow("intermediates", f"cam_act_{i}", x)
             hidden.append(m if self.parity == "flash" else x)
         if return_hidden:
             return hidden

@@ -35,10 +35,13 @@ def _pick_block(n: int, target: int = 512) -> int:
 
 
 # Measured on v5e (dec shape BH=64, N=5121, dh=32): fwd 1024-blocks run
-# ~1.45x faster than 512 (9.9ms vs 14.3ms); bwd kernels keep 512 to stay
-# within the ~16MB VMEM scoped limit (s/p/dp/ds tiles are all f32).
+# ~1.45x faster than 512 (9.9ms vs 14.3ms); bwd kernels use asymmetric
+# tiles — 512 on the output-block dim, 1024 on the inner loop dim — to get
+# the larger-tile win while the f32 s/p/dp/ds intermediates stay within the
+# ~16MB VMEM scoped limit.
 FWD_BLOCK_TARGET = 1024
-BWD_BLOCK_TARGET = 512
+BWD_OUT_BLOCK_TARGET = 512
+BWD_LOOP_BLOCK_TARGET = 1024
 
 
 def _use_interpret() -> bool:
@@ -208,12 +211,16 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 def _bwd(scale, block_q, block_k, res, g):
     q, k, v, out, lse = res
     bh, n, d = q.shape
-    # bwd uses its own (smaller) tiling independent of the fwd blocks
-    block_q = _pick_block(n, BWD_BLOCK_TARGET)
-    block_k = block_q
+    # bwd tiling is independent of the fwd blocks: dq iterates k-blocks for
+    # each q-block (bigger k tile), dkv iterates q-blocks for each k-block
+    # (bigger q tile)
+    block_q = _pick_block(n, BWD_OUT_BLOCK_TARGET)
+    block_k = _pick_block(n, BWD_LOOP_BLOCK_TARGET)
+    dkv_block_k = _pick_block(n, BWD_OUT_BLOCK_TARGET)
+    dkv_block_q = _pick_block(n, BWD_LOOP_BLOCK_TARGET)
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
 
-    n_pad = _round_up(n, max(block_q, block_k))
+    n_pad = _round_up(n, max(block_q, block_k, dkv_block_q, dkv_block_k))
     pad = n_pad - n
     if pad:
         zpad3 = ((0, 0), (0, pad), (0, 0))
@@ -247,29 +254,30 @@ def _bwd(scale, block_q, block_k, res, g):
     )(q, k, v, g, lse, delta)
 
     # dk/dv: grid over k blocks (dim 1), loop over q blocks (dim 2)
+    bq2, bk2 = dkv_block_q, dkv_block_k
     kv_specs = [
-        pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0)),   # q
-        pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),   # k
-        pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),   # v
-        pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0)),   # do
-        pl.BlockSpec((1, block_q, 1), lambda b, j, i: (b, i, 0)),   # lse
-        pl.BlockSpec((1, block_q, 1), lambda b, j, i: (b, i, 0)),   # delta
+        pl.BlockSpec((1, bq2, d), lambda b, j, i: (b, i, 0)),   # q
+        pl.BlockSpec((1, bk2, d), lambda b, j, i: (b, j, 0)),   # k
+        pl.BlockSpec((1, bk2, d), lambda b, j, i: (b, j, 0)),   # v
+        pl.BlockSpec((1, bq2, d), lambda b, j, i: (b, i, 0)),   # do
+        pl.BlockSpec((1, bq2, 1), lambda b, j, i: (b, i, 0)),   # lse
+        pl.BlockSpec((1, bq2, 1), lambda b, j, i: (b, i, 0)),   # delta
     ]
     dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, scale=scale, n_valid=n, block_q=block_q),
-        grid=(bh, nk, nq),
+        functools.partial(_dkv_kernel, scale=scale, n_valid=n, block_q=bq2),
+        grid=(bh, n_pad // bk2, n_pad // bq2),
         in_specs=kv_specs,
         out_specs=[
-            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
-            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, bk2, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, bk2, d), lambda b, j, i: (b, j, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, n_pad, d), k.dtype),
             jax.ShapeDtypeStruct((bh, n_pad, d), v.dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((block_k, d), jnp.float32),
-            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((bk2, d), jnp.float32),
+            pltpu.VMEM((bk2, d), jnp.float32),
         ],
         interpret=_use_interpret(),
     )(q, k, v, g, lse, delta)

@@ -1,0 +1,71 @@
+"""MAE reconstruction visualization.
+
+Parity target: Pre-training/custom_util/misc.py:909-1303
+(get_visible_images / get_patch_embed_images / show_image): unpatchify the
+decoder prediction, paste the visible (unmasked) patches from the input,
+and save PNG grids during pretraining eval (engine_pretrain.py:282-338).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..ops.patchify import unpatchify_3d
+
+
+def reconstruction_panels(imgs: np.ndarray, pred_tokens: np.ndarray,
+                          mask: np.ndarray, t_patch: int, patch: int,
+                          grid: tuple[int, int, int]):
+    """Build (original, masked-input, reconstruction, paste) volumes.
+
+    imgs: [B, T, H, W, C]; pred_tokens: [B, L, u*p*p*C]; mask: [B, L]
+    (1 = masked).  Returns four [B, T, H, W, C] arrays.
+    """
+    import jax.numpy as jnp
+
+    b, l = mask.shape
+    c = imgs.shape[-1]
+    recon = np.asarray(unpatchify_3d(jnp.asarray(pred_tokens), t_patch,
+                                     patch, grid, c))
+    # expand token mask to pixels
+    mask_tok = mask.reshape(b, *grid, 1, 1, 1)
+    mask_px = np.kron(mask_tok.reshape(b, *grid),
+                      np.ones((t_patch, patch, patch)))
+    mask_px = mask_px.reshape(b, grid[0], grid[1], grid[2],
+                              t_patch, patch, patch)
+    mask_px = mask_px.transpose(0, 1, 4, 2, 5, 3, 6).reshape(
+        b, grid[0] * t_patch, grid[1] * patch, grid[2] * patch)[..., None]
+    imgs = np.asarray(imgs)
+    masked_input = imgs * (1 - mask_px)
+    pasted = imgs * (1 - mask_px) + recon * mask_px
+    return imgs, masked_input, recon, pasted
+
+
+def save_recon_grid(panels, out_dir: str, tag: str, frame_stride: int = 10):
+    """Save a PNG grid: rows = (orig, masked, recon, pasted), cols =
+    sampled frames. Uses matplotlib (available in this environment)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(out_dir, exist_ok=True)
+    orig, masked, recon, pasted = [p[0, ..., 0] for p in panels]
+    frames = list(range(0, orig.shape[0], frame_stride)) or [0]
+    fig, axes = plt.subplots(4, len(frames),
+                             figsize=(2 * len(frames), 8), squeeze=False)
+    for col, fidx in enumerate(frames):
+        for row, (vol, name) in enumerate(
+                [(orig, "original"), (masked, "masked"),
+                 (recon, "recon"), (pasted, "recon+visible")]):
+            ax = axes[row][col]
+            ax.imshow(vol[fidx], cmap="gray")
+            ax.axis("off")
+            if col == 0:
+                ax.set_title(name, fontsize=8, loc="left")
+    path = os.path.join(out_dir, f"recon_{tag}.png")
+    fig.tight_layout()
+    fig.savefig(path, dpi=100)
+    plt.close(fig)
+    return path

@@ -1,0 +1,89 @@
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from octcubem_tpu.models import vit_st
+from octcubem_tpu.utils import saliency, profiling, visualization
+from octcubem_tpu.utils.logging import SmoothedValue, MetricLogger, JsonlLogger
+
+
+def _cam_model():
+    return vit_st.VisionTransformerST(
+        num_frames=6, t_patch_size=3, img_size=32, patch_size=16, in_chans=1,
+        num_classes=4, embed_dim=32, depth=2, num_heads=2,
+        attn_impl="naive", capture_cam=True)
+
+
+def test_gradcam_shapes_and_signal():
+    m = _cam_model()
+    x = jax.random.normal(jax.random.key(0), (2, 6, 32, 32, 1))
+    params = m.init(jax.random.key(1), x)
+    assert "perturbations" in params
+    cam = saliency.gradcam(m, params, x, class_idx=1, grid=(2, 2, 2))
+    assert cam.shape == (2, 2, 2, 2)
+    assert np.isfinite(cam).all()
+    assert cam.max() <= 1.0 + 1e-6 and cam.min() >= 0.0
+
+
+def test_gradcam_differs_across_classes():
+    m = _cam_model()
+    x = jax.random.normal(jax.random.key(2), (1, 6, 32, 32, 1))
+    params = m.init(jax.random.key(3), x)
+    c0 = saliency.gradcam(m, params, x, class_idx=0)
+    c1 = saliency.gradcam(m, params, x, class_idx=2)
+    assert not np.allclose(c0, c1)
+
+
+def test_xla_cost_analysis():
+    def f(a, b):
+        return a @ b
+
+    a = jnp.ones((64, 128))
+    b = jnp.ones((128, 32))
+    cost = profiling.xla_cost_analysis(f, a, b)
+    assert cost.get("flops", 0) >= 2 * 64 * 128 * 32 * 0.5
+
+
+def test_profile_models_csv(tmp_path):
+    f = lambda a: (a @ a).sum()
+    rows = profiling.profile_models(
+        [("toy", f, (jnp.ones((32, 32)),))], str(tmp_path / "prof.csv"))
+    assert rows[0]["model"] == "toy"
+    assert os.path.exists(tmp_path / "prof.csv")
+
+
+def test_recon_panels_and_grid(tmp_path):
+    b, grid, tp, p = 1, (2, 2, 2), 3, 16
+    rng = np.random.default_rng(0)
+    imgs = rng.random((b, 6, 32, 32, 1)).astype(np.float32)
+    pred = rng.random((b, 8, tp * p * p)).astype(np.float32)
+    mask = (rng.random((b, 8)) > 0.3).astype(np.float32)
+    panels = visualization.reconstruction_panels(imgs, pred, mask, tp, p, grid)
+    for arr in panels:
+        assert arr.shape == imgs.shape
+    orig, masked, recon, pasted = panels
+    # visible pixels of pasted == original; masked pixels == recon
+    vis = masked != 0
+    np.testing.assert_allclose(pasted[vis], orig[vis], atol=1e-6)
+    path = visualization.save_recon_grid(panels, str(tmp_path), "t0",
+                                         frame_stride=3)
+    assert os.path.exists(path)
+
+
+def test_meters_and_jsonl(tmp_path):
+    sv = SmoothedValue(window_size=3)
+    for v in [1, 2, 3, 4]:
+        sv.update(v)
+    assert sv.avg == 3.0  # window keeps 2,3,4
+    assert sv.global_avg == 2.5
+    ml = MetricLogger()
+    ml.update(loss=1.0)
+    ml.update(loss=3.0)
+    assert ml.meters["loss"].global_avg == 2.0
+    jl = JsonlLogger(str(tmp_path))
+    jl.write({"epoch": 0, "loss": 1.5})
+    import json
+    rec = json.loads(open(tmp_path / "log.txt").read())
+    assert rec["loss"] == 1.5
