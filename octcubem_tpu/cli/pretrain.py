@@ -62,6 +62,9 @@ def main(argv=None):
     parser.add_argument("--output_dir", default=None)
     parser.add_argument("--tiny", action="store_true",
                         help="tiny model dims for smoke runs")
+    parser.add_argument("--eval_only", action="store_true",
+                        help="reconstruction eval + image dumps only "
+                             "(reference --eval_only, main_pretrain…py:573-592)")
     args = parser.parse_args(argv)
 
     import jax
@@ -161,6 +164,31 @@ def main(argv=None):
     patch_embed_fn = jax.jit(
         lambda p, x: model.apply(p, x, method=model.forward_patch_embed))
     jsonl = JsonlLogger(cfg.output_dir)
+
+    if args.eval_only:
+        # reconstruction eval with image dumps (engine_pretrain.py:282-338)
+        from ..train.mae_engine import make_mae_eval_step
+        from ..utils.visualization import reconstruction_panels, save_recon_grid
+
+        eval_fn = make_mae_eval_step(model)
+        losses = []
+        with mesh:
+            for it, (vols, _) in enumerate(ld3):
+                b3 = shard_batch(jnp.asarray(vols), mesh)
+                out = eval_fn(state.params, b3, jax.random.key(it))
+                losses.append(float(out["loss"]))
+                if it == 0:
+                    panels = reconstruction_panels(
+                        np.asarray(b3), np.asarray(out["pred"]),
+                        np.asarray(out["mask"]), model.t_pred_patch_size,
+                        model.patch_size,
+                        (np.asarray(out["mask"]).shape[1]
+                         // model.grid ** 2, model.grid, model.grid))
+                    path = save_recon_grid(panels, cfg.output_dir, "eval")
+                    log.info(f"recon dump: {path}")
+        log.info(f"eval loss: {np.mean(losses):.4f}")
+        jsonl.write({"eval_loss": float(np.mean(losses))})
+        return None
 
     with mesh:
         for epoch in range(start_epoch, cfg.epochs):
