@@ -65,7 +65,13 @@ def main(argv=None):
     parser.add_argument("--eval_only", action="store_true",
                         help="reconstruction eval + image dumps only "
                              "(reference --eval_only, main_pretrain…py:573-592)")
+    parser.add_argument("--mode", default="joint3d", choices=["joint3d", "2d"],
+                        help="'2d' = plain 2D MAE pretraining with per-image "
+                             "SPL hardness (OCTCube/main_pretrain_oph_new.py)")
     args = parser.parse_args(argv)
+
+    if args.mode == "2d":
+        return _main_2d(args)
 
     import jax
     import jax.numpy as jnp
@@ -214,6 +220,10 @@ def main(argv=None):
                     mask_ratio_2d=round(mask2d, 4), pre_mask=pre_mask)
                 loss = float(metrics["loss"])
                 if not np.isfinite(loss):
+                    # delete recent checkpoints so a resume restarts from a
+                    # pre-divergence state (engine_pretrain.py:153-161)
+                    deleted = ckpt_lib.delete_recent_checkpoints(ckpt_dir, 2)
+                    log.info(f"removed checkpoints {deleted} after NaN")
                     raise RuntimeError(f"Loss is {loss}, stopping training")
                 # SPL hardness: per-frame losses -> 2D image hardness
                 fl = np.asarray(metrics["frame_losses"]).mean(axis=1)
@@ -234,6 +244,95 @@ def main(argv=None):
                          "spl_k": k, "mask_ratio_2d": mask2d})
             log.info(f"epoch {epoch} done: {meter}")
     log.info("pretraining complete")
+    return state
+
+
+def _main_2d(args):
+    """Plain 2D MAE pretraining with per-image SPL hardness tracking
+    (OCTCube/main_pretrain_oph_new.py + engine_pretrain.py:96-168)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..core import mesh as meshlib, checkpoint as ckpt_lib
+    from ..models import mae2d
+    from ..data import loader as loader_lib, spl as spl_lib
+    from ..train import optim, schedules
+    from ..train.train_state import TrainState
+    from ..train.mae_engine import shard_batch, optax_global_norm
+    from ..utils.logging import MetricLogger, JsonlLogger, get_logger
+
+    out_dir = args.output_dir or "./output_pretrain2d"
+    os.makedirs(out_dir, exist_ok=True)
+    log = get_logger("pretrain2d", os.path.join(out_dir, "out.log"))
+    size = 32 if args.tiny else 224
+    model = (mae2d.MaskedAutoencoderViT2D(
+        img_size=size, patch_size=16, in_chans=1, embed_dim=32, depth=2,
+        num_heads=2, decoder_embed_dim=16, decoder_depth=1,
+        decoder_num_heads=2, attn_impl="auto") if args.tiny
+        else mae2d.mae_vit_large_patch16(img_size=size, in_chans=1,
+                                         dtype=jnp.bfloat16))
+
+    class Synth2D:
+        names = [f"img{i}" for i in range(args.synthetic_n * 4)]
+
+        def __len__(self):
+            return len(self.names)
+
+        def __getitem__(self, i):
+            rng = np.random.default_rng((7, i))
+            return (rng.random((size, size, 1), np.float32), self.names[i])
+
+    ds = Synth2D()
+    spl_state = spl_lib.SPLState(ds.names)
+    mesh = meshlib.make_mesh()
+    n_data = mesh.shape[meshlib.DATA_AXIS]
+    batch = max(n_data, ((args.batch_size or 16) // n_data) * n_data)
+    ld = loader_lib.Loader(ds, batch, num_workers=2)
+    x0 = jnp.zeros((batch, size, size, 1))
+    params = jax.jit(lambda k, x: model.init(
+        {"params": k, "masking": k}, x, mask_ratio=0.75))(jax.random.key(0), x0)
+    sched = schedules.warmup_half_cosine(1.5e-4 * batch / 256, 0.0, 2,
+                                         args.epochs or 10, max(1, len(ld)))
+    tx = optim.build_adamw(params, sched, 0.05)
+    state = TrainState.create(params, tx, jax.random.key(1))
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state, batch):
+        rng, new_rng = jax.random.split(state.rng)
+
+        def loss_fn(p):
+            loss, per_image, _, _ = model.apply(
+                p, batch, mask_ratio=0.75, deterministic=False,
+                rngs={"masking": rng})
+            return loss, per_image
+
+        (loss, per_image), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(tx, grads).replace(rng=new_rng)
+        return state, loss, per_image
+
+    jsonl = JsonlLogger(out_dir)
+    with mesh:
+        for epoch in range(args.epochs or 2):
+            ld.set_epoch(epoch)
+            meter = MetricLogger()
+            for imgs, names in meter.log_every(ld, 10, f"2D Epoch [{epoch}]",
+                                               logger=log):
+                b = shard_batch(jnp.asarray(imgs), mesh)
+                state, loss, per_image = step(state, b)
+                spl_state.update_hardness(list(names), np.asarray(per_image))
+                meter.update(loss=float(loss))
+            k = schedules.spl_k_schedule(epoch, total_epochs=args.epochs or 2,
+                                         warmup_epochs=1)
+            spl_state.update_spl(k)
+            spl_state.save(out_dir, epoch)
+            ckpt_lib.save_checkpoint(os.path.join(out_dir, "ckpt"), epoch,
+                                     state, {"epoch": epoch}, keep_last=2)
+            jsonl.write({"epoch": epoch,
+                         "train_loss": meter.meters["loss"].global_avg})
+            log.info(f"2d epoch {epoch}: {meter}")
     return state
 
 

@@ -49,6 +49,23 @@ def latest_step(ckpt_dir: str) -> int | None:
     return max(steps) if steps else None
 
 
+def delete_recent_checkpoints(ckpt_dir: str, n: int) -> list[int]:
+    """Delete the n most recent checkpoints — the reference's NaN-loss
+    cleanup (engine_pretrain.py:153-161 deletes num_checkpoint_del most
+    recent checkpoints before raising, so a resume restarts from a
+    pre-divergence state)."""
+    import shutil
+
+    deleted = []
+    for _ in range(n):
+        step = latest_step(ckpt_dir)
+        if step is None:
+            break
+        shutil.rmtree(os.path.join(ckpt_dir, str(step)), ignore_errors=True)
+        deleted.append(step)
+    return deleted
+
+
 def restore_checkpoint(ckpt_dir: str, state_template: Any,
                        step: int | None = None) -> tuple[Any, dict | None, int]:
     """Restore (state, extra, step). step=None -> latest."""

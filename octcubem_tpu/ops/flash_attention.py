@@ -8,10 +8,12 @@ across it.  Sequences are padded to the block size and padded keys are
 masked with -inf via a broadcasted-iota comparison (only emitted when the
 padding actually exists).
 
-Backward follows the FlashAttention-2 scheme: the forward saves only
-(out, logsumexp); dq is computed in one kernel (grid over q blocks,
-loop over k), dk/dv in another (grid over k blocks, loop over q), with
-delta = rowsum(dO * O) precomputed by XLA.
+Backward follows the FlashAttention-2 scheme — the forward saves only
+(out, logsumexp) — but dq/dk/dv come from a single FUSED kernel: one
+sweep over (k-block, q-block) tiles recomputes s and p once per tile
+(instead of twice across split dq / dkv kernels), with dq accumulating in
+a persistent full-sequence VMEM scratch.  delta = rowsum(dO * O) is
+precomputed by XLA.
 """
 
 from __future__ import annotations
@@ -35,13 +37,11 @@ def _pick_block(n: int, target: int = 512) -> int:
 
 
 # Measured on v5e (dec shape BH=64, N=5121, dh=32): fwd 1024-blocks run
-# ~1.45x faster than 512 (9.9ms vs 14.3ms); bwd kernels use asymmetric
-# tiles — 512 on the output-block dim, 1024 on the inner loop dim — to get
-# the larger-tile win while the f32 s/p/dp/ds intermediates stay within the
-# ~16MB VMEM scoped limit.
+# ~1.45x faster than 512 (9.9ms vs 14.3ms); the fused bwd keeps 512 tiles
+# so its f32 s/p/dp/ds intermediates plus the full-sequence dq accumulator
+# stay within the ~16MB VMEM scoped limit.
 FWD_BLOCK_TARGET = 1024
-BWD_OUT_BLOCK_TARGET = 512
-BWD_LOOP_BLOCK_TARGET = 1024
+BWD_BLOCK_TARGET = 512
 
 
 def _use_interpret() -> bool:
@@ -130,97 +130,81 @@ def _fwd(q, k, v, scale, block_q, block_k):
 
 
 # ---------------------------------------------------------------- backward
+#
+# Fused single-pass backward: one sweep over (k-block, q-block) tiles
+# computes s = qk^T and p = exp(s - lse) ONCE per tile and produces all
+# three gradients (the split dq / dkv kernels recompute s and the exp
+# twice — measured 28ms vs ~18ms per ViT-L-decoder layer on v5e).
+# dq accumulates in a persistent full-sequence VMEM scratch
+# ([n_pad, d] f32, ~0.8MB at n=6144, d=32) that survives across grid
+# steps; dk/dv accumulate per k-block as usual.
 
-def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
-               acc_ref, *, scale, n_valid, block_k):
-    kb = pl.program_id(2)
-    nk = pl.num_programs(2)
+def _fused_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                      dq_ref, dk_ref, dv_ref,
+                      dq_acc, dk_acc, dv_acc, *, scale, n_valid,
+                      block_q, block_k):
+    jb = pl.program_id(1)   # k-block index (outer)
+    ib = pl.program_id(2)   # q-block index (inner)
+    nj = pl.num_programs(1)
+    ni = pl.num_programs(2)
 
-    @pl.when(kb == 0)
-    def _init():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
+    @pl.when((jb == 0) & (ib == 0))
+    def _init_dq():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
 
-    q = q_ref[0]
-    k = k_ref[0]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    if n_valid % block_k != 0:
-        col = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < n_valid, s, NEG_INF)
-    p = jnp.exp(s - lse_ref[0])                       # [bq, bk]; lse [bq, 1]
-    dp = jax.lax.dot_general(
-        do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    ds = p * (dp - delta_ref[0])                      # [bq, bk] f32
-    dq = jax.lax.dot_general(
-        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    acc_ref[:] = acc_ref[:] + dq * scale
-
-    @pl.when(kb == nk - 1)
-    def _finalize():
-        dq_ref[0] = acc_ref[:].astype(dq_ref.dtype)
-
-
-def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                dk_ref, dv_ref, dk_acc, dv_acc, *, scale, n_valid, block_q):
-    qb = pl.program_id(2)
-    nq = pl.num_programs(2)
-
-    @pl.when(qb == 0)
-    def _init():
+    @pl.when(ib == 0)
+    def _init_dkv():
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
-    q = q_ref[0]   # [bq, d]
-    k = k_ref[0]   # [bk, d]
+    q = q_ref[0]    # [bq, d]
+    k = k_ref[0]    # [bk, d]
+    v = v_ref[0]    # [bk, d]
+    do = do_ref[0]  # [bq, d]
+
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale      # [bq, bk]
-    if n_valid % block_q != 0:
-        row = qb * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-        s = jnp.where(row < n_valid, s, NEG_INF)
-    # padded q rows have lse = 0 -> p = exp(-inf - 0) = 0, harmless
-    p = jnp.exp(s - lse_ref[0])                       # [bq, bk]; lse [bq, 1]
-    do = do_ref[0]  # [bq, d]
-    dv = jax.lax.dot_general(
-        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [bk, d]
-    dv_acc[:] = dv_acc[:] + dv
-    dp = jax.lax.dot_general(
-        do, v_ref[0], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [bq, bk]
-    ds = p * (dp - delta_ref[0])
-    dk = jax.lax.dot_general(
-        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [bk, d]
-    dk_acc[:] = dk_acc[:] + dk * scale
+    ) * scale                                          # [bq, bk]
+    if n_valid % block_k != 0:
+        col = jb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < n_valid, s, NEG_INF)
+    # padded q rows have lse = 0 -> p = exp(NEG_INF) = 0, harmless
+    p = jnp.exp(s - lse_ref[0])                        # [bq, bk]
 
-    @pl.when(qb == nq - 1)
-    def _finalize():
+    dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [bk, d]
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [bq, bk]
+    ds = (p * (dp - delta_ref[0])).astype(q.dtype)     # [bq, bk]
+    dk_acc[:] = dk_acc[:] + jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale    # [bk, d]
+    dq_tile = jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale    # [bq, d]
+    dq_acc[pl.ds(ib * block_q, block_q), :] = (
+        dq_acc[pl.ds(ib * block_q, block_q), :] + dq_tile)
+
+    @pl.when(ib == ni - 1)
+    def _write_dkv():
         dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
         dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+    @pl.when((jb == nj - 1) & (ib == ni - 1))
+    def _write_dq():
+        dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
 
 
 def _bwd(scale, block_q, block_k, res, g):
     q, k, v, out, lse = res
     bh, n, d = q.shape
-    # bwd tiling is independent of the fwd blocks: dq iterates k-blocks for
-    # each q-block (bigger k tile), dkv iterates q-blocks for each k-block
-    # (bigger q tile)
-    block_q = _pick_block(n, BWD_OUT_BLOCK_TARGET)
-    block_k = _pick_block(n, BWD_LOOP_BLOCK_TARGET)
-    dkv_block_k = _pick_block(n, BWD_OUT_BLOCK_TARGET)
-    dkv_block_q = _pick_block(n, BWD_LOOP_BLOCK_TARGET)
+    block_q = _pick_block(n, BWD_BLOCK_TARGET)
+    block_k = _pick_block(n, BWD_BLOCK_TARGET)
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
 
-    n_pad = _round_up(n, max(block_q, block_k, dkv_block_q, dkv_block_k))
+    n_pad = _round_up(n, max(block_q, block_k))
     pad = n_pad - n
     if pad:
         zpad3 = ((0, 0), (0, pad), (0, 0))
@@ -234,50 +218,34 @@ def _bwd(scale, block_q, block_k, res, g):
     delta = delta[..., None]  # [bh, n_pad, 1]
     nq, nk = n_pad // block_q, n_pad // block_k
 
-    tensor_specs = [
-        pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),   # q
-        pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),   # k
-        pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),   # v
-        pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),   # do
-        pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0)),   # lse
-        pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0)),   # delta
+    # fused single-pass backward: grid (bh, k-blocks, q-blocks)
+    specs = [
+        pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0)),   # q
+        pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),   # k
+        pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),   # v
+        pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0)),   # do
+        pl.BlockSpec((1, block_q, 1), lambda b, j, i: (b, i, 0)),   # lse
+        pl.BlockSpec((1, block_q, 1), lambda b, j, i: (b, i, 0)),   # delta
     ]
-
-    dq = pl.pallas_call(
-        functools.partial(_dq_kernel, scale=scale, n_valid=n, block_k=block_k),
-        grid=(bh, nq, nk),
-        in_specs=tensor_specs,
-        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
-        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
-        interpret=_use_interpret(),
-    )(q, k, v, g, lse, delta)
-
-    # dk/dv: grid over k blocks (dim 1), loop over q blocks (dim 2)
-    bq2, bk2 = dkv_block_q, dkv_block_k
-    kv_specs = [
-        pl.BlockSpec((1, bq2, d), lambda b, j, i: (b, i, 0)),   # q
-        pl.BlockSpec((1, bk2, d), lambda b, j, i: (b, j, 0)),   # k
-        pl.BlockSpec((1, bk2, d), lambda b, j, i: (b, j, 0)),   # v
-        pl.BlockSpec((1, bq2, d), lambda b, j, i: (b, i, 0)),   # do
-        pl.BlockSpec((1, bq2, 1), lambda b, j, i: (b, i, 0)),   # lse
-        pl.BlockSpec((1, bq2, 1), lambda b, j, i: (b, i, 0)),   # delta
-    ]
-    dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, scale=scale, n_valid=n, block_q=bq2),
-        grid=(bh, n_pad // bk2, n_pad // bq2),
-        in_specs=kv_specs,
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_fused_bwd_kernel, scale=scale, n_valid=n,
+                          block_q=block_q, block_k=block_k),
+        grid=(bh, nk, nq),
+        in_specs=specs,
         out_specs=[
-            pl.BlockSpec((1, bk2, d), lambda b, j, i: (b, j, 0)),
-            pl.BlockSpec((1, bk2, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, n_pad, d), lambda b, j, i: (b, 0, 0)),  # dq
+            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
         ],
         out_shape=[
+            jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
             jax.ShapeDtypeStruct((bh, n_pad, d), k.dtype),
             jax.ShapeDtypeStruct((bh, n_pad, d), v.dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((bk2, d), jnp.float32),
-            pltpu.VMEM((bk2, d), jnp.float32),
+            pltpu.VMEM((n_pad, d), jnp.float32),     # dq accumulator
+            pltpu.VMEM((block_k, d), jnp.float32),   # dk accumulator
+            pltpu.VMEM((block_k, d), jnp.float32),   # dv accumulator
         ],
         interpret=_use_interpret(),
     )(q, k, v, g, lse, delta)
