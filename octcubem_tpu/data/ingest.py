@@ -15,6 +15,7 @@ Parity targets (OCTCube/util/PatientDataset.py):
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import numpy as np
 
@@ -180,6 +181,47 @@ def normalize_dicom_volume(volume: np.ndarray, manufacturer: str,
         if volume.shape[-1] == 1024:
             volume = (volume[..., :, ::2] + volume[..., :, 1::2]) / 2
     return volume
+
+
+def load_mhd_volume(path: str) -> np.ndarray:
+    """MetaImage (.mhd/.mha) volume reader — replaces the COEM fork's
+    SimpleITK-backed load_mhd_image (retinal-COEM/src/training/
+    multimodal_dataset.py:483-496).  Supports uncompressed and
+    zlib-compressed raw payloads, common element types."""
+    import zlib
+
+    hdr: dict[str, str] = {}
+    with open(path, "rb") as f:
+        data = f.read()
+    # header is ASCII lines until ElementDataFile
+    text_end = 0
+    for line in data.split(b"\n"):
+        text_end += len(line) + 1
+        try:
+            k, v = line.decode("ascii").split("=", 1)
+        except (UnicodeDecodeError, ValueError):
+            break
+        hdr[k.strip()] = v.strip()
+        if k.strip() == "ElementDataFile":
+            break
+    dims = [int(x) for x in hdr["DimSize"].split()]
+    dtype = {
+        "MET_UCHAR": np.uint8, "MET_CHAR": np.int8,
+        "MET_USHORT": np.uint16, "MET_SHORT": np.int16,
+        "MET_FLOAT": np.float32, "MET_DOUBLE": np.float64,
+    }[hdr.get("ElementType", "MET_UCHAR")]
+    datafile = hdr.get("ElementDataFile", "LOCAL")
+    if datafile == "LOCAL":
+        raw = data[text_end:]
+    else:
+        with open(os.path.join(os.path.dirname(path), datafile), "rb") as f:
+            raw = f.read()
+    if hdr.get("CompressedData", "False").lower() == "true":
+        raw = zlib.decompress(raw)
+    n = int(np.prod(dims))
+    arr = np.frombuffer(raw, dtype=dtype, count=n)
+    # MetaImage DimSize is x y z (fastest first) -> numpy [z, y, x]
+    return arr.reshape(dims[::-1]).astype(np.float32)
 
 
 def load_dicom_volume(path: str, **kw) -> tuple[np.ndarray, str, str]:

@@ -185,6 +185,63 @@ class PatientDataset3D:
 
 
 @dataclasses.dataclass
+class ImageFolderDataset:
+    """class-folder image dataset (torchvision ImageFolder convention) —
+    the generic 2D fine-tune / Kermany data path (OCTCube/util/
+    datasets.py:12-18)."""
+
+    root: str
+    transform: Callable | None = None
+    mode: str = "rgb"
+    seed: int = 0
+
+    def __post_init__(self):
+        self.classes = sorted(
+            d for d in os.listdir(self.root)
+            if os.path.isdir(os.path.join(self.root, d)))
+        self.class_to_idx = {c: i for i, c in enumerate(self.classes)}
+        self.samples: list[tuple[str, int]] = []
+        for c in self.classes:
+            for f in sorted(os.listdir(os.path.join(self.root, c))):
+                if f.lower().endswith((".png", ".jpg", ".jpeg", ".bmp", ".tif")):
+                    self.samples.append(
+                        (os.path.join(self.root, c, f), self.class_to_idx[c]))
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, i):
+        from PIL import Image
+
+        path, label = self.samples[i]
+        img = Image.open(path).convert("RGB" if self.mode == "rgb" else "L")
+        arr = np.asarray(img, np.float32) / 255.0
+        if arr.ndim == 2:
+            arr = arr[..., None]
+        if self.transform is not None:
+            arr = self.transform(arr, rng=np.random.default_rng((self.seed, i)))
+        return arr, np.int64(label)
+
+
+def few_shot_subsample(visits: list[Visit], k_per_class: int,
+                       label_fn: Callable, seed: int = 0) -> list[Visit]:
+    """Few-shot sublists: keep k samples per class (the reference's
+    generate_sublists family, OCTCube/util/misc.py:408-581, generalized)."""
+    rng = np.random.default_rng(seed)
+    by_class: dict = {}
+    for v in visits:
+        lab = label_fn(v)
+        key = int(np.argmax(lab)) if np.ndim(lab) else int(lab)
+        by_class.setdefault(key, []).append(v)
+    out = []
+    for key in sorted(by_class):
+        group = by_class[key]
+        idx = rng.permutation(len(group))[:k_per_class]
+        out.extend(group[i] for i in sorted(idx))
+    return out
+
+
+@dataclasses.dataclass
 class PatientDatasetCenter2D:
     """Center B-scan per visit (PatientDatasetCenter2D, :809-1391)."""
 

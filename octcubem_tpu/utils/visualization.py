@@ -43,6 +43,33 @@ def reconstruction_panels(imgs: np.ndarray, pred_tokens: np.ndarray,
     return imgs, masked_input, recon, pasted
 
 
+def save_confusion_matrix(y_true, y_pred, class_names, out_path: str):
+    """Confusion-matrix image, the matplotlib equivalent of the
+    reference's pycm JPEG dumps (engine_finetune.py:766-776)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    n = len(class_names)
+    cm = np.zeros((n, n), np.int64)
+    for t, p in zip(np.asarray(y_true), np.asarray(y_pred)):
+        cm[int(t), int(p)] += 1
+    fig, ax = plt.subplots(figsize=(1 + 0.6 * n, 1 + 0.6 * n))
+    ax.imshow(cm, cmap="Blues")
+    ax.set_xticks(range(n), class_names, rotation=45, ha="right", fontsize=7)
+    ax.set_yticks(range(n), class_names, fontsize=7)
+    for i in range(n):
+        for j in range(n):
+            ax.text(j, i, str(cm[i, j]), ha="center", va="center", fontsize=7)
+    ax.set_xlabel("predicted")
+    ax.set_ylabel("true")
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return cm
+
+
 def save_recon_grid(panels, out_dir: str, tag: str, frame_stride: int = 10):
     """Save a PNG grid: rows = (orig, masked, recon, pasted), cols =
     sampled frames. Uses matplotlib (available in this environment)."""

@@ -1,0 +1,67 @@
+import os
+import zlib
+
+import numpy as np
+
+from octcubem_tpu.data import ingest, patients
+from octcubem_tpu.utils.visualization import save_confusion_matrix
+
+
+def test_mhd_reader_local_and_compressed(tmp_path):
+    rng = np.random.default_rng(0)
+    vol = (rng.random((4, 6, 8)) * 255).astype(np.uint8)  # z, y, x
+    # uncompressed LOCAL
+    hdr = (b"ObjectType = Image\nNDims = 3\nDimSize = 8 6 4\n"
+           b"ElementType = MET_UCHAR\nElementDataFile = LOCAL\n")
+    p1 = tmp_path / "a.mhd"
+    p1.write_bytes(hdr + vol.tobytes())
+    out = ingest.load_mhd_volume(str(p1))
+    np.testing.assert_array_equal(out, vol.astype(np.float32))
+    # compressed external raw
+    raw = zlib.compress(vol.tobytes())
+    (tmp_path / "b.zraw").write_bytes(raw)
+    hdr2 = (b"ObjectType = Image\nNDims = 3\nDimSize = 8 6 4\n"
+            b"ElementType = MET_UCHAR\nCompressedData = True\n"
+            b"ElementDataFile = b.zraw\n")
+    p2 = tmp_path / "b.mhd"
+    p2.write_bytes(hdr2)
+    out2 = ingest.load_mhd_volume(str(p2))
+    np.testing.assert_array_equal(out2, vol.astype(np.float32))
+
+
+def test_imagefolder(tmp_path):
+    from PIL import Image
+    rng = np.random.default_rng(0)
+    for cls in ("CNV", "NORMAL"):
+        os.makedirs(tmp_path / cls)
+        for i in range(3):
+            Image.fromarray((rng.random((16, 16)) * 255).astype(np.uint8)).save(
+                tmp_path / cls / f"{i}.png")
+    ds = patients.ImageFolderDataset(str(tmp_path), mode="gray")
+    assert len(ds) == 6
+    assert ds.classes == ["CNV", "NORMAL"]
+    img, y = ds[0]
+    assert img.shape == (16, 16, 1) and y == 0
+    img, y = ds[5]
+    assert y == 1
+
+
+def test_few_shot_subsample():
+    visits = []
+    for i in range(20):
+        v = patients.Visit(f"p{i}", "0", ["x"])
+        v.labels = {"AMD": int(i < 12)}
+        visits.append(v)
+    _, label_fn = patients.build_labels(visits, "binary_cls", disease="AMD")
+    sub = few = patients.few_shot_subsample(visits, 3, label_fn, seed=1)
+    labels = [int(label_fn(v)) for v in sub]
+    assert labels.count(0) == 3 and labels.count(1) == 3
+
+
+def test_confusion_matrix_plot(tmp_path):
+    y_true = [0, 0, 1, 1, 2]
+    y_pred = [0, 1, 1, 1, 2]
+    cm = save_confusion_matrix(y_true, y_pred, ["a", "b", "c"],
+                               str(tmp_path / "cm.jpg"))
+    assert cm[0, 0] == 1 and cm[0, 1] == 1 and cm[1, 1] == 2 and cm[2, 2] == 1
+    assert os.path.exists(tmp_path / "cm.jpg")
