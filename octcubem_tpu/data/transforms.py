@@ -118,6 +118,8 @@ class Transform2DTrain:
     std: tuple = (0.229, 0.224, 0.225)
     scale: tuple = (0.08, 1.0)
     ratio: tuple = (3 / 4, 4 / 3)
+    rand_augment: bool = True      # rand-m9-mstd0.5 (datasets.py:25-40)
+    random_erase_prob: float = 0.25
 
     def __call__(self, img: np.ndarray, rng=None) -> np.ndarray:
         rng = rng or np.random.default_rng()
@@ -141,6 +143,15 @@ class Transform2DTrain:
                                 (self.input_size, self.input_size))
         if rng.random() < 0.5:
             im = im[:, :, ::-1]
-        mean = np.asarray(self.mean[: im.shape[0]], np.float32)[:, None, None]
-        std = np.asarray(self.std[: im.shape[0]], np.float32)[:, None, None]
-        return np.ascontiguousarray(np.moveaxis((im - mean) / std, 0, -1))
+        im_hwc = np.ascontiguousarray(np.moveaxis(im, 0, -1))
+        if self.rand_augment:
+            from .randaug import rand_augment
+            im_hwc = rand_augment(im_hwc, rng)
+        mean = np.asarray(self.mean[: im_hwc.shape[-1]], np.float32)
+        std = np.asarray(self.std[: im_hwc.shape[-1]], np.float32)
+        im_hwc = (im_hwc - mean) / std
+        if self.random_erase_prob > 0:
+            from .randaug import random_erasing
+            im_hwc = random_erasing(im_hwc.astype(np.float32), rng,
+                                    self.random_erase_prob)
+        return np.ascontiguousarray(im_hwc.astype(np.float32))
