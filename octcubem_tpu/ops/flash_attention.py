@@ -201,7 +201,7 @@ def _bwd(scale, block_q, block_k, res, g):
     q, k, v, out, lse = res
     bh, n, d = q.shape
     block_q = _pick_block(n, BWD_BLOCK_TARGET)
-    block_k = _pick_block(n, BWD_BLOCK_TARGET)
+    block_k = _pick_block(n, BWD_BLOCK_TARGET * 2)  # wider k tile: ~9MB VMEM
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
 
     n_pad = _round_up(n, max(block_q, block_k))

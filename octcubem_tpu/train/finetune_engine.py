@@ -14,6 +14,7 @@ inside the optax schedule instead of mutating optimizer param groups.
 from __future__ import annotations
 
 import dataclasses
+import os
 import functools
 from typing import Any, Callable
 
@@ -112,6 +113,23 @@ def evaluate(predict_step, params, batches, task_mode: str,
     y_true = np.concatenate(trues, axis=0)
     return metrics_lib.compute_metrics(task_mode, y_true, y_pred, threshold), \
         y_true, y_pred
+
+
+def dump_frame_inference(out_dir: str, mode: str, names, y_true, y_pred,
+                         embeddings=None) -> str:
+    """Per-sample inference dump to pkl (engine_finetune.py:680-688's
+    optional per-frame inference results)."""
+    import pickle
+
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"frame_inference_{mode}.pkl")
+    payload = {"names": list(names), "y_true": np.asarray(y_true),
+               "y_pred": np.asarray(y_pred)}
+    if embeddings is not None:
+        payload["embeddings"] = np.asarray(embeddings)
+    with open(path, "wb") as f:
+        pickle.dump(payload, f)
+    return path
 
 
 def write_metric_csvs(metrics: dict, out_dir: str, mode: str,
