@@ -13,7 +13,6 @@ data.py:1036-1078, generalized here to 3D).
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import os
 import time
 

@@ -137,15 +137,12 @@ def main(argv=None):
                                             drop_keys=("head",))
             log.info(f"initialized {prefix} from {ckpt_path}")
 
-    # LiT locking: zero-lr for locked params via layer-scale tree
+    # LiT locking via zero-lr masking: freeze the visual trunk except the
+    # last `lock_image_unlocked_groups` groups — [... blocks, last
+    # block+norm, head group] ordering per the reference lock()
+    # (models_vit_st_flash_attn_nodrop.py:308-351)
     trainable_scales = None
     if cfg.lock_image and hasattr(model, "visual"):
-        # unlocked groups = last `n` of the tower's lock groups
-        groups = coem.OCTTower(out_dim=cfg.embed_dim, **vcfg).lock_groups() \
-            if False else None
-        # simple policy: freeze the visual trunk except the last
-        # `lock_image_unlocked_groups` blocks + head (reference lock(),
-        # models_vit_st_flash_attn_nodrop.py:308-351)
         import re
 
         depth = vcfg.get("depth", 24)

@@ -176,6 +176,35 @@ def rand_augment(img: np.ndarray, rng: np.random.Generator,
     return img
 
 
+def mixup_cutmix(images: np.ndarray, targets_onehot: np.ndarray,
+                 rng: np.random.Generator, mixup_alpha: float = 0.8,
+                 cutmix_alpha: float = 1.0, prob: float = 1.0,
+                 switch_prob: float = 0.5):
+    """Batch-level mixup/cutmix (the timm mixup_fn the reference's 2D
+    fine-tune path requests, engine_finetune.py mixup_fn).  images
+    [B, H, W, C], targets one-hot [B, C] -> mixed (images, soft targets)."""
+    if rng.random() > prob:
+        return images, targets_onehot
+    b = images.shape[0]
+    perm = rng.permutation(b)
+    use_cutmix = rng.random() < switch_prob
+    if use_cutmix:
+        lam = float(rng.beta(cutmix_alpha, cutmix_alpha))
+        h, w = images.shape[1:3]
+        rh, rw = int(h * np.sqrt(1 - lam)), int(w * np.sqrt(1 - lam))
+        cy, cx = rng.integers(h), rng.integers(w)
+        y0, y1 = np.clip(cy - rh // 2, 0, h), np.clip(cy + rh // 2, 0, h)
+        x0, x1 = np.clip(cx - rw // 2, 0, w), np.clip(cx + rw // 2, 0, w)
+        out = images.copy()
+        out[:, y0:y1, x0:x1] = images[perm][:, y0:y1, x0:x1]
+        lam = 1 - (y1 - y0) * (x1 - x0) / (h * w)
+    else:
+        lam = float(rng.beta(mixup_alpha, mixup_alpha))
+        out = lam * images + (1 - lam) * images[perm]
+    t = lam * targets_onehot + (1 - lam) * targets_onehot[perm]
+    return out.astype(np.float32), t.astype(np.float32)
+
+
 def random_erasing(img: np.ndarray, rng: np.random.Generator,
                    prob: float = 0.25, area=(0.02, 1 / 3),
                    ratio=(0.3, 3.3)) -> np.ndarray:

@@ -62,3 +62,13 @@ def test_transform2d_train_pipeline():
     out = t(img, rng=np.random.default_rng(1))
     assert out.shape == (64, 64, 1)
     assert np.isfinite(out).all()
+
+
+def test_mixup_cutmix():
+    rng = np.random.default_rng(0)
+    imgs = rng.random((8, 16, 16, 1)).astype(np.float32)
+    t = np.eye(4, dtype=np.float32)[rng.integers(0, 4, 8)]
+    out, soft = randaug.mixup_cutmix(imgs, t, np.random.default_rng(1))
+    assert out.shape == imgs.shape and soft.shape == t.shape
+    np.testing.assert_allclose(soft.sum(axis=1), 1.0, rtol=1e-5)
+    assert np.isfinite(out).all()
