@@ -79,7 +79,7 @@ def main(argv=None):
     from ..core import mesh as meshlib, checkpoint as ckpt_lib
     from ..models import mae3d
     from ..data import patients, transforms, loader as loader_lib, spl as spl_lib
-    from ..data.premask import compute_premask
+
     from ..train import optim, schedules
     from ..train.train_state import TrainState
     from ..train.mae_engine import make_mae_train_step, shard_batch
@@ -165,9 +165,8 @@ def main(argv=None):
         start_epoch = (extra or {}).get("epoch", 0) + 1
         log.info(f"resumed from epoch {start_epoch - 1}")
 
-    step_fn = make_mae_train_step(model, tx, joint=True)
-    patch_embed_fn = jax.jit(
-        lambda p, x: model.apply(p, x, method=model.forward_patch_embed))
+    step_fn = make_mae_train_step(model, tx, joint=True,
+                                  use_premask=cfg.use_premask)
     jsonl = JsonlLogger(cfg.output_dir)
 
     if args.eval_only:
@@ -210,13 +209,11 @@ def main(argv=None):
                 imgs2d, names2d = next(loader2_iter)
                 b3 = shard_batch(jnp.asarray(vols), mesh)
                 b2 = shard_batch(jnp.asarray(imgs2d), mesh)
-                pre_mask = None
-                if cfg.use_premask:
-                    feat = patch_embed_fn(state.params, b3)
-                    pre_mask = compute_premask(feat, model.t_grid, model.grid)
+                # blank-region pre-mask is computed inside the jitted step
+                # (use_premask), so patch embeddings are computed once
                 state, metrics = step_fn(
                     state, b3, mask_ratio=cfg.mask_ratio, batch2d=b2,
-                    mask_ratio_2d=round(mask2d, 4), pre_mask=pre_mask)
+                    mask_ratio_2d=round(mask2d, 4))
                 loss = float(metrics["loss"])
                 if not np.isfinite(loss):
                     # delete recent checkpoints so a resume restarts from a

@@ -53,6 +53,8 @@ def main(argv=None):
     parser.add_argument("--preset", default="octcube_ir")
     parser.add_argument("--model_config", default=None,
                         help="COEM JSON config name/path (models/configs)")
+    parser.add_argument("--data_dir", default=None,
+                        help="paired OCT/IR(/FAF) tree (docs/DATA.md)")
     parser.add_argument("--synthetic", action="store_true")
     parser.add_argument("--synthetic_n", type=int, default=32)
     parser.add_argument("--epochs", type=int, default=None)
@@ -104,7 +106,20 @@ def main(argv=None):
     osize = vcfg.get("img_size", 256)
     esize = ecfg.get("img_size", 384)
 
-    ds = SyntheticPairs(args.synthetic_n, frames, osize, esize, three_mod)
+    if args.data_dir:
+        from ..data.multimodal import (PairedOCTEnfaceDataset,
+                                       scan_paired_directory)
+
+        ds = PairedOCTEnfaceDataset(
+            scan_paired_directory(args.data_dir), num_frames=frames,
+            oct_size=osize, enface_size=esize)
+        if len(ds) == 0:
+            raise ValueError(
+                f"no paired OCT+IR visits found under {args.data_dir} "
+                "(expected patient/visit dirs with oct_*.png + ir.png — "
+                "see docs/DATA.md)")
+    else:
+        ds = SyntheticPairs(args.synthetic_n, frames, osize, esize, three_mod)
 
     mesh = meshlib.make_mesh(n_data=cfg.n_data, n_fsdp=cfg.n_fsdp)
     n_data = mesh.shape[meshlib.DATA_AXIS]
@@ -114,6 +129,14 @@ def main(argv=None):
                                 num_workers=2)
 
     def to_batch(items):
+        if isinstance(items, dict):  # PairedOCTEnfaceDataset batches
+            b = {k: jnp.asarray(v) for k, v in items.items()
+                 if k not in ("__key__", "label")}
+            if not three_mod:
+                return {"image": b["image"], "enface": b["enface1"]}
+            return {"image": b["image"], "enface1": b["enface1"],
+                    "enface2": b["enface2"], "weight1": b["weight1"],
+                    "weight2": b["weight2"]}
         if three_mod:
             vol, enf, faf, w = items
             return {"image": jnp.asarray(vol), "enface1": jnp.asarray(enf),

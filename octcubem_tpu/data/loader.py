@@ -22,6 +22,8 @@ def _collate(samples):
     if isinstance(first, tuple):
         return tuple(_collate([s[i] for s in samples])
                      for i in range(len(first)))
+    if isinstance(first, dict):
+        return {k: _collate([s[k] for s in samples]) for k in first}
     if isinstance(first, (str, bytes)):
         return list(samples)
     arr = np.stack([np.asarray(s) for s in samples])

@@ -23,17 +23,29 @@ from ..core.mesh import DATA_AXIS
 from .train_state import TrainState
 
 
-def make_mae_train_step(model, tx, joint: bool = False):
+def make_mae_train_step(model, tx, joint: bool = False,
+                        use_premask: bool = False):
     """Returns step(state, batch3d, mask_ratio, batch2d?, mask_ratio_2d?,
     pre_mask?) -> (state, metrics).
 
     mask ratios are static floats (recompiled per scheduled value — the 2D
     ratio changes once per epoch, so at most one recompile per epoch).
+
+    use_premask=True computes the blank-region pre-mask INSIDE the step
+    (one jit, patch embeddings computed once, no extra host round-trip —
+    the reference runs a separate forward_patch_embed pass per step,
+    engine_pretrain.py:110-122).
     """
 
     def loss_fn(params, rng, batch3d, mask_ratio, batch2d, mask_ratio_2d,
                 pre_mask):
         r3, r2 = jax.random.split(rng)
+        if use_premask and pre_mask is None:
+            from ..data.premask import compute_premask
+
+            feat = jax.lax.stop_gradient(model.apply(
+                params, batch3d, method=model.forward_patch_embed))
+            pre_mask = compute_premask(feat, model.t_grid, model.grid)
         loss3d, frame_losses, _, _ = model.apply(
             params, batch3d, mask_ratio=mask_ratio, pre_mask=pre_mask,
             deterministic=False,

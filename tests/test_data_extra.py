@@ -65,3 +65,32 @@ def test_confusion_matrix_plot(tmp_path):
                                str(tmp_path / "cm.jpg"))
     assert cm[0, 0] == 1 and cm[0, 1] == 1 and cm[1, 1] == 2 and cm[2, 2] == 1
     assert os.path.exists(tmp_path / "cm.jpg")
+
+
+def test_paired_multimodal_dataset(tmp_path):
+    from PIL import Image
+    from octcubem_tpu.data.multimodal import (
+        PairedOCTEnfaceDataset, scan_paired_directory, collate_paired)
+    rng = np.random.default_rng(0)
+    for p in range(3):
+        d = tmp_path / f"p{p}" / "v0"
+        os.makedirs(d)
+        for f in range(4):
+            Image.fromarray((rng.random((32, 32)) * 255).astype(np.uint8)).save(
+                d / f"oct_{f:03d}.png")
+        Image.fromarray((rng.random((24, 24, 3)) * 255).astype(np.uint8)).save(
+            d / "ir.png")
+        if p == 0:
+            Image.fromarray((rng.random((24, 24, 3)) * 255).astype(np.uint8)).save(
+                d / "faf.png")
+    recs = scan_paired_directory(str(tmp_path))
+    ds = PairedOCTEnfaceDataset(recs, num_frames=4, oct_size=16, enface_size=16)
+    assert len(ds) == 3
+    s = ds[0]
+    assert s["image"].shape == (4, 16, 16, 1)
+    assert s["enface1"].shape == (16, 16, 3)
+    assert s["weight1"] == 1.0
+    weights2 = sorted(float(ds[i]["weight2"]) for i in range(3))
+    assert weights2 == [0.0, 0.0, 1.0]  # only p0 has FAF
+    batch, keys = collate_paired([ds[0], ds[1]])
+    assert batch["image"].shape[0] == 2 and len(keys) == 2
