@@ -199,13 +199,18 @@ def main(argv=None):
 
     def eval_epoch(epoch):
         batches = [to_batch(b) for b in ld_eval]
-        metrics = clip_engine.evaluate_retrieval(model, state.params, batches,
-                                                 three_mod=three_mod)
+        save = args.save_retrieval_results or cfg.save_retrieval_results
+        result = clip_engine.evaluate_retrieval(
+            model, state.params, batches, three_mod=three_mod,
+            return_features=save)
+        metrics, features = result if save else (result, None)
         jsonl.write({"epoch": epoch, **metrics})
-        if args.save_retrieval_results or cfg.save_retrieval_results:
+        if save:
+            # feature bank for the offline evaluator
+            # (cli/retrieval_eval.py; reference train_retclip.py:373-395)
             with open(os.path.join(cfg.output_dir,
                                    f"retrieval_results_{epoch}.pkl"), "wb") as f:
-                pickle.dump(metrics, f)
+                pickle.dump({"metrics": metrics, **features}, f)
         return metrics
 
     if cfg.evaluate_only:

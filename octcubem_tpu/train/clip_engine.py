@@ -193,10 +193,14 @@ def retrieval_metrics_dup_corrected(img_feat, enf_feat, group_ids) -> dict:
     return out
 
 
-def evaluate_retrieval(model, params, batches, three_mod: bool = False) -> dict:
+def evaluate_retrieval(model, params, batches, three_mod: bool = False,
+                       return_features: bool = False):
     """Concat features over a val loader and compute retrieval metrics
     (train_retclip.py:243-403).  For 3-mod, metrics for all 3 pairs
-    (train_retclip_3modalities.py:371-392)."""
+    (train_retclip_3modalities.py:371-392).  return_features=True also
+    returns the concatenated feature bank — the payload the offline
+    retrieval evaluator consumes (retrieval_results_{epoch}.pkl,
+    train_retclip.py:373-395)."""
     feats: dict[str, list] = {}
 
     if three_mod:
@@ -214,7 +218,7 @@ def evaluate_retrieval(model, params, batches, three_mod: bool = False) -> dict:
                                      "image_to_enface2", "enface2_to_image"))
         out.update(retrieval_metrics(f["enface1"], f["enface2"],
                                      "enface1_to_enface2", "enface2_to_enface1"))
-        return out
+        return (out, f) if return_features else out
 
     fwd = jax.jit(lambda p, i, e: model.apply(p, i, e)[:2])
     for batch in batches:
@@ -222,4 +226,5 @@ def evaluate_retrieval(model, params, batches, three_mod: bool = False) -> dict:
         feats.setdefault("image", []).append(np.asarray(img))
         feats.setdefault("enface", []).append(np.asarray(enf))
     f = {k: np.concatenate(v) for k, v in feats.items()}
-    return retrieval_metrics(f["image"], f["enface"])
+    out = retrieval_metrics(f["image"], f["enface"])
+    return (out, f) if return_features else out
