@@ -51,9 +51,13 @@ class VisionTransformer2D(nn.Module):
             self.qkv_bias, self.drop_path_rate, dtype=self.dtype,
             attn_impl=self.attn_impl, parity=self.parity, remat=self.remat,
             capture_cam=self.capture_cam)
-        # global_pool uses fc_norm; cls path uses norm (models_vit.py:22-53)
-        self.fc_norm = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32)
-        self.norm = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32)
+        # global_pool uses fc_norm and DELETES norm; cls path keeps norm
+        # only (models_vit.py:22-33 `del self.norm`) — checkpoints contain
+        # exactly one of the two
+        if self.global_pool:
+            self.fc_norm = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32)
+        else:
+            self.norm = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32)
         if self.num_classes > 0:
             self.head = nn.Dense(self.num_classes, dtype=self.dtype,
                                  kernel_init=nn.initializers.normal(0.02))
