@@ -94,3 +94,25 @@ def test_paired_multimodal_dataset(tmp_path):
     assert weights2 == [0.0, 0.0, 1.0]  # only p0 has FAF
     batch, keys = collate_paired([ds[0], ds[1]])
     assert batch["image"].shape[0] == 2 and len(keys) == 2
+
+
+def test_bscan_coverage_geometry():
+    from octcubem_tpu.data.geometry import (
+        bscan_coverage_mask, oct_token_region, horizontal_line_patches)
+    # one full-width line at y=100 -> one patch row covered
+    lines = np.array([[0, 100, 383, 100]])
+    mask = bscan_coverage_mask(lines, enface_size=384, patch_size=16)
+    assert mask.sum() == 24  # full row of 384/16 patches
+    assert mask[100 // 16].sum() == 24
+    # flip_y mirrors the row
+    mask_f = bscan_coverage_mask(lines, flip_y=True)
+    assert mask_f[24 - 100 // 16 - 1].sum() == 24
+    # token region: 61-frame 512-wide Heidelberg protocol
+    t, d, w = oct_token_region((61, 496, 512))
+    assert t == (0, 20)
+    assert w == (4, 20)  # 512-wide scans cover the central 2/3
+    # partial line respects the coverage threshold
+    ps = horizontal_line_patches(0, 7, 0, patch_size=16, coverage=0.5)
+    assert ps == []  # only 8px < half a patch
+    ps = horizontal_line_patches(0, 9, 0, patch_size=16, coverage=0.5)
+    assert (0, 0) in ps
