@@ -158,9 +158,28 @@ def main(argv=None):
                            clip_grad=cfg.clip_grad)
     state = TrainState.create(params, tx, jax.random.key(cfg.seed + 1))
 
+    # resume-type dispatch (reference main_pretrain…py:457-571, 6 types):
+    #   training_new          fresh params (optionally init_ckpt as-is)
+    #   resume_latest         restore full TrainState from output_dir
+    #   retfound_2_flash_attn RETFound/ImageNet 2D ckpt -> joint 3D MAE
+    #   octcube / released    flash-style 3D ckpt loaded directly
     start_epoch = 0
     ckpt_dir = os.path.join(cfg.output_dir, "ckpt")
-    if cfg.resume == "latest" and ckpt_lib.latest_step(ckpt_dir) is not None:
+    if cfg.init_ckpt:
+        from ..compat.torch_import import (load_torch_checkpoint,
+                                           import_state_dict,
+                                           convert_retfound_2d_state_dict)
+
+        sd = load_torch_checkpoint(cfg.init_ckpt)
+        if cfg.resume_type in ("retfound_2_flash_attn", "imagenet_mae"):
+            sd = convert_retfound_2d_state_dict(
+                sd, model.t_patch_size, model.high_res_grid)
+        params2, rep = import_state_dict(state.params, sd, strict=False)
+        state = state.replace(params=params2)
+        log.info(f"init from {cfg.init_ckpt} ({cfg.resume_type}); "
+                 f"fresh params: {len(rep['missing'])}")
+    if (cfg.resume == "latest" or cfg.resume_type == "resume_latest") \
+            and ckpt_lib.latest_step(ckpt_dir) is not None:
         state, extra, step = ckpt_lib.restore_checkpoint(ckpt_dir, state)
         start_epoch = (extra or {}).get("epoch", 0) + 1
         log.info(f"resumed from epoch {start_epoch - 1}")

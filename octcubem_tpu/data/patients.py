@@ -223,6 +223,34 @@ class ImageFolderDataset:
         return arr, np.int64(label)
 
 
+def attach_labels_from_csv(visits: list[Visit], csv_path: str,
+                           id_col: str = "patient_id",
+                           label_cols: list[str] | None = None,
+                           visit_col: str | None = None) -> list[Visit]:
+    """Attach labels from a CSV keyed by patient (and optionally visit) —
+    the generic form of the per-dataset label loaders the reference's
+    duke14/oimhs/umn/hcms mains hard-code.  Returns visits that matched a
+    CSV row."""
+    import csv as _csv
+
+    with open(csv_path) as f:
+        rows = list(_csv.DictReader(f))
+    if label_cols is None:
+        skip = {id_col, visit_col}
+        label_cols = [c for c in rows[0] if c not in skip]
+    index: dict = {}
+    for r in rows:
+        key = (str(r[id_col]), str(r[visit_col])) if visit_col else str(r[id_col])
+        index[key] = {c: int(float(r[c])) for c in label_cols if r.get(c, "") != ""}
+    out = []
+    for v in visits:
+        key = (v.patient_id, v.visit_id) if visit_col else v.patient_id
+        if key in index:
+            v.labels.update(index[key])
+            out.append(v)
+    return out
+
+
 def few_shot_subsample(visits: list[Visit], k_per_class: int,
                        label_fn: Callable, seed: int = 0) -> list[Visit]:
     """Few-shot sublists: keep k samples per class (the reference's

@@ -137,6 +137,49 @@ class SLIViTHead(nn.Module):
         return nn.Dense(self.num_classes, dtype=self.dtype, name="mlp_head")(x)
 
 
+class ViTSTWithSLIViTHead(nn.Module):
+    """OCTCube (ViT-ST) backbone + SLIViT head.
+
+    Parity target: OCTCube/models_vit_st_flash_attn_slivit.py:85-260 —
+    the backbone's final tokens (un-normed last-MLP-branch under flash
+    semantics, cls dropped) are regrouped per temporal slab
+    [B, T', C, L] -> [B, T', C*L] and fed to the SLIViT compact ViT.
+    The RETFound variant (models_vit_3dhead_flash_attn_slivit.py) is the
+    same head over vit_3dhead slice embeddings.
+    """
+
+    num_classes: int = 1
+    trunk_kwargs: dict = None
+    slivit_depth: int = 5
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        from .vit_st import VisionTransformerST
+
+        kw = dict(self.trunk_kwargs or {})
+        kw.setdefault("cls_embed", True)
+        kw.setdefault("global_pool", True)
+        self.trunk = VisionTransformerST(num_classes=1, dtype=self.dtype, **kw)
+        t_grid = self.trunk.num_frames // self.trunk.t_patch_size
+        l = (self.trunk.img_size // self.trunk.patch_size) ** 2
+        self.head = SLIViTHead(
+            num_patches=t_grid, patch_dim=self.trunk.embed_dim * l,
+            num_classes=self.num_classes, depth=self.slivit_depth,
+            dtype=self.dtype)
+
+    def __call__(self, x, deterministic: bool = True):
+        tokens = self.trunk(x, deterministic=deterministic,
+                            return_hidden=True)[-1]
+        if self.trunk.cls_embed:
+            tokens = tokens[:, 1:]
+        b, tl, d = tokens.shape
+        t_grid = self.trunk.num_frames // self.trunk.t_patch_size
+        l = tl // t_grid
+        tok = tokens.reshape(b, t_grid, l, d).transpose(0, 1, 3, 2)
+        tok = tok.reshape(b, t_grid, d * l)
+        return self.head(tok, deterministic)
+
+
 class SLIViT(nn.Module):
     """Full baseline: [B, N, H, W, C] slices -> logits.
 

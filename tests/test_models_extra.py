@@ -108,3 +108,28 @@ def test_retfound_loads_into_mae3d():
     loss, _, _, _ = m.apply(params, jnp.ones((1, 6, 32, 32, 1)),
                             mask_ratio=0.5, rngs={"masking": jax.random.key(2)})
     assert np.isfinite(float(loss))
+
+
+def test_vit_st_slivit_head():
+    from octcubem_tpu.models.slivit import ViTSTWithSLIViTHead
+    m = ViTSTWithSLIViTHead(
+        num_classes=3, slivit_depth=2,
+        trunk_kwargs=dict(num_frames=6, t_patch_size=3, img_size=32,
+                          patch_size=16, in_chans=1, embed_dim=32, depth=2,
+                          num_heads=2, attn_impl="naive"))
+    x = jax.random.normal(jax.random.key(0), (2, 6, 32, 32, 1))
+    p = m.init(jax.random.key(1), x)
+    out = m.apply(p, x)
+    assert out.shape == (2, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_attach_labels_from_csv(tmp_path):
+    from octcubem_tpu.data import patients
+    csv_path = tmp_path / "labels.csv"
+    csv_path.write_text("patient_id,AMD,DME\np0,1,0\np2,0,1\n")
+    visits = [patients.Visit(f"p{i}", "0", ["x"]) for i in range(3)]
+    matched = patients.attach_labels_from_csv(visits, str(csv_path))
+    assert len(matched) == 2
+    assert matched[0].labels == {"AMD": 1, "DME": 0}
+    assert matched[1].labels == {"AMD": 0, "DME": 1}
