@@ -49,6 +49,55 @@ def _use_interpret() -> bool:
 
 
 # ---------------------------------------------------------------- forward
+#
+# Two forward variants:
+# - _fwd_kernel: textbook online softmax (running max + rescale) — the
+#   fully general path.
+# - _fwd_kernel_nomax: fixed-shift softmax.  The fwd is VPU-bound on the
+#   elementwise passes over the [bq, bk] score tile (max-reduce, sub+exp,
+#   rescale); with p = exp(min(s, CLAMP) - SHIFT) the max-reduce and the
+#   accumulator rescale disappear.  Mathematically exact for any logits
+#   below CLAMP (softmax is shift-invariant; clamping at CLAMP=40 only
+#   alters keys whose weights already saturate), and f32 holds
+#   e^(CLAMP-SHIFT)=e^24 with full relative precision.  lse = SHIFT +
+#   log(l) keeps the backward identical.
+
+NOMAX_SHIFT = 16.0
+NOMAX_CLAMP = 40.0
+
+
+def _fwd_kernel_nomax(q_ref, k_ref, v_ref, o_ref, lse_ref,
+                      acc_ref, l_ref, *, scale, n_valid, block_k):
+    kb = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    if n_valid % block_k != 0:
+        col = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < n_valid, s, NEG_INF)
+    p = jnp.exp(jnp.minimum(s, NOMAX_CLAMP) - NOMAX_SHIFT)  # [bq, bk] f32
+    l_ref[:] = l_ref[:] + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(kb == nk - 1)
+    def _finalize():
+        l = l_ref[:]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_ref[:] / l_safe).astype(o_ref.dtype)
+        lse_ref[0] = NOMAX_SHIFT + jnp.log(l_safe)
+
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
                 acc_ref, m_ref, l_ref, *, scale, n_valid, block_k):
@@ -93,7 +142,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
         lse_ref[0] = m_ref[:] + jnp.log(l_safe)  # [bq, 1]
 
 
-def _fwd(q, k, v, scale, block_q, block_k):
+def _fwd(q, k, v, scale, block_q, block_k, no_max: bool = True):
     bh, n, d = q.shape
     n_pad = _round_up(n, max(block_q, block_k))
     pad = n_pad - n
@@ -103,8 +152,24 @@ def _fwd(q, k, v, scale, block_q, block_k):
         v = jnp.pad(v, ((0, 0), (0, pad), (0, 0)))
     nq, nk = n_pad // block_q, n_pad // block_k
 
+    if no_max:
+        kernel = functools.partial(_fwd_kernel_nomax, scale=scale, n_valid=n,
+                                   block_k=block_k)
+        scratch = [
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+        ]
+    else:
+        kernel = functools.partial(_fwd_kernel, scale=scale, n_valid=n,
+                                   block_k=block_k)
+        scratch = [
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+        ]
+
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, n_valid=n, block_k=block_k),
+        kernel,
         grid=(bh, nq, nk),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
@@ -119,11 +184,7 @@ def _fwd(q, k, v, scale, block_q, block_k):
             jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
             jax.ShapeDtypeStruct((bh, n_pad, 1), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((block_q, d), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         interpret=_use_interpret(),
     )(q, k, v)
     return out[:, :n], lse[:, :n, 0]

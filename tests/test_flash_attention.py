@@ -38,3 +38,14 @@ def test_grad_matches_naive():
     for a, b in zip(gf, gn):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-4, rtol=5e-4)
+
+
+def test_nomax_large_logits():
+    """Fixed-shift softmax must stay exact for logit magnitudes far above
+    typical (up to the clamp)."""
+    q, k, v = _rand_qkv(jax.random.key(5), 1, 2, 256, 64)
+    q = q * 6.0  # logits roughly in [-30, 30], below NOMAX_CLAMP
+    out = flash_attention(q, k, v, block_q=128, block_k=128)
+    ref = naive_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-5, rtol=5e-5)
