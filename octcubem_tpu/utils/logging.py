@@ -167,6 +167,30 @@ class TBWriter:
             self.writer.flush()
 
 
+def device_memory_stats() -> dict:
+    """Per-device memory telemetry — replaces the reference's
+    gpu_mem_usage/cpu_mem_usage meters (custom_util/misc.py:633-657)."""
+    import jax
+
+    out = {}
+    for d in jax.local_devices():
+        stats = getattr(d, "memory_stats", lambda: None)()
+        if stats:
+            out[str(d)] = {
+                "bytes_in_use_MB": round(stats.get("bytes_in_use", 0) / 1e6, 1),
+                "peak_bytes_MB": round(
+                    stats.get("peak_bytes_in_use", 0) / 1e6, 1),
+            }
+    try:
+        import psutil
+
+        out["host_rss_MB"] = round(
+            psutil.Process().memory_info().rss / 1e6, 1)
+    except Exception:
+        pass
+    return out
+
+
 class Throughput:
     """samples/s meter (train_retclip.py:210-227)."""
 
