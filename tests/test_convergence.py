@@ -1,0 +1,57 @@
+"""Training-convergence canaries: tiny models must actually learn.
+
+Catches silent gradient/optimizer bugs that shape tests cannot (e.g. a
+masked loss that ignores the prediction, a zero-lr mask covering
+everything, broken custom-vjp)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from octcubem_tpu.models import mae3d, vit_st
+from octcubem_tpu.train import optim, losses
+from octcubem_tpu.train.train_state import TrainState
+from octcubem_tpu.train.mae_engine import make_mae_train_step
+from octcubem_tpu.train.finetune_engine import make_finetune_train_step
+
+
+def test_mae_loss_decreases():
+    m = mae3d.MaskedAutoencoderViT3D(
+        input_size=32, high_res_input_size=64, patch_size=16, in_chans=1,
+        embed_dim=64, depth=2, num_heads=2, decoder_embed_dim=32,
+        decoder_depth=1, decoder_num_heads=2, num_frames=6, t_patch_size=3,
+        pred_t_dim=6, attn_impl="naive")
+    x = jax.random.uniform(jax.random.key(0), (4, 6, 32, 32, 1))
+    params = m.init({"params": jax.random.key(1), "masking": jax.random.key(2)},
+                    x, mask_ratio=0.75)
+    tx = optim.build_adamw(params, 3e-3)
+    state = TrainState.create(params, tx, jax.random.key(3))
+    step = make_mae_train_step(m, tx)
+    first = last = None
+    for i in range(30):
+        state, metrics = step(state, x, mask_ratio=0.75)
+        if i == 0:
+            first = float(metrics["loss"])
+        last = float(metrics["loss"])
+    assert last < 0.7 * first, (first, last)
+
+
+def test_classifier_fits_separable_data():
+    m = vit_st.VisionTransformerST(
+        num_frames=6, t_patch_size=3, img_size=32, patch_size=16, in_chans=1,
+        num_classes=2, embed_dim=32, depth=2, num_heads=2,
+        head_type="aggregate", attn_impl="naive")
+    rng = np.random.default_rng(0)
+    y = np.arange(8) % 2
+    x = rng.random((8, 6, 32, 32, 1)).astype(np.float32) + y[:, None, None, None, None] * 0.5
+    x, y = jnp.asarray(x), jnp.asarray(y)
+    params = m.init(jax.random.key(1), x)
+    tx = optim.build_adamw(params, 1e-3)
+    state = TrainState.create(params, tx, jax.random.key(2))
+    step = make_finetune_train_step(m, tx, losses.make_criterion("multi_cls",
+                                                                 smoothing=0.0))
+    for _ in range(40):
+        state, metrics = step(state, x, y)
+    logits = m.apply(state.params, x)
+    acc = float((jnp.argmax(logits, -1) == y).mean())
+    assert acc == 1.0, acc
