@@ -37,6 +37,10 @@ import os
 
 BATCH = int(os.environ.get("BENCH_BATCH", "4"))
 REMAT = os.environ.get("BENCH_REMAT", "0") == "1"
+# BENCH_MESH=1: shard the batch over ALL local devices (batch scales with
+# device count; vol/s reported per chip). Off by default to keep the
+# proven single-chip graph/compile-cache.
+USE_MESH = os.environ.get("BENCH_MESH", "0") == "1"
 FRAMES, IMG, PATCH, TPATCH = 60, 256, 16, 3
 MASK_RATIO = 0.90
 STEPS = 8
@@ -89,6 +93,18 @@ def main():
     state = TrainState.create(params, tx, jax.random.key(2))
 
     step = make_mae_train_step(model, tx, joint=False)
+
+    if USE_MESH:
+        from octcubem_tpu.core import mesh as meshlib
+        from octcubem_tpu.train.mae_engine import shard_batch, replicate_state
+
+        mesh = meshlib.make_mesh()
+        n_dev = mesh.shape[meshlib.DATA_AXIS]
+        x = jax.random.normal(jax.random.key(0),
+                              (BATCH * n_dev, FRAMES, IMG, IMG, 1),
+                              jnp.float32)
+        x = shard_batch(x, mesh)
+        state = replicate_state(state, mesh)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def run_steps(state, x):
