@@ -77,8 +77,13 @@ def run_fold(cfg, model, datasets, log, fold_tag=""):
     ds_train, ds_val, ds_test = datasets
     mesh = meshlib.make_mesh(n_data=cfg.n_data, n_fsdp=cfg.n_fsdp)
     n_data = mesh.shape[meshlib.DATA_AXIS]
-    batch = max(n_data, (cfg.batch_size // n_data) * n_data)
+    batch = min(cfg.batch_size, len(ds_train))
+    if len(ds_train) < n_data:
+        raise ValueError(f"train split has {len(ds_train)} items but the "
+                         f"mesh needs a batch divisible by {n_data}")
+    batch = max(n_data, (batch // n_data) * n_data)
     ld_tr = loader_lib.Loader(ds_train, batch, num_workers=4, seed=cfg.seed)
+    assert len(ld_tr) > 0, "empty train loader (batch larger than dataset?)"
     ld_va = loader_lib.Loader(ds_val, batch, shuffle=False, drop_last=False,
                               num_workers=2)
     ld_te = loader_lib.Loader(ds_test, batch, shuffle=False, drop_last=False,
@@ -159,6 +164,9 @@ def main(argv=None):
     parser = argparse.ArgumentParser("OCTCube-TPU downstream fine-tune")
     parser.add_argument("--preset", default="octcube_multitask")
     parser.add_argument("--data_dir", default=None)
+    parser.add_argument("--labels_csv", default=None,
+                        help="CSV with patient_id + disease columns "
+                             "(data/patients.attach_labels_from_csv)")
     parser.add_argument("--synthetic", action="store_true")
     parser.add_argument("--synthetic_n", type=int, default=32)
     parser.add_argument("--epochs", type=int, default=None)
@@ -222,6 +230,9 @@ def main(argv=None):
                   Slice(mk(n * 8 // 10, n)))]
     else:
         visits = patients.scan_directory(args.data_dir)
+        if args.labels_csv:
+            visits = patients.attach_labels_from_csv(visits, args.labels_csv)
+            log.info(f"{len(visits)} visits matched {args.labels_csv}")
         _, label_fn = patients.build_labels(visits, cfg.task_mode,
                                             disease_list=cfg.disease_list)
         tr_t, va_t = transforms.create_3d_transforms(cfg.input_size,

@@ -1,0 +1,122 @@
+"""Batch inference / serving: directory of OCT volumes -> predictions CSV.
+
+Production counterpart of the single-volume notebook demo (cli/infer.py):
+walks a patient tree (PNG stacks / npy / DICOM), batches volumes through
+the jitted classifier (bf16 by default for throughput; --precision fp32
+for the parity path), and writes per-volume 8-disease probabilities +
+embeddings.
+
+    python -m octcubem_tpu.cli.predict data_root --ckpt OCTCube_multitask_cls.pth
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+
+import numpy as np
+
+DISEASES = ["DME", "AMD", "POAG", "EPM", "DR", "VD", "RAO_RVO", "RNV"]
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser("OCTCube-TPU batch inference")
+    parser.add_argument("data_dir")
+    parser.add_argument("--ckpt", default=None)
+    parser.add_argument("--out_csv", default="predictions.csv")
+    parser.add_argument("--batch_size", type=int, default=4)
+    parser.add_argument("--num_frames", type=int, default=48)
+    parser.add_argument("--input_size", type=int, default=256)
+    parser.add_argument("--nb_classes", type=int, default=16)
+    parser.add_argument("--precision", default="bf16")
+    parser.add_argument("--dump_embeddings", default=None,
+                        help="optional .npz path for pre-head embeddings")
+    # tiny-dims overrides for smoke runs
+    parser.add_argument("--embed_dim", type=int, default=None)
+    parser.add_argument("--depth", type=int, default=None)
+    parser.add_argument("--num_heads", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.vit_st import VisionTransformerST
+    from ..compat.torch_import import load_torch_checkpoint, import_state_dict
+    from ..data import patients, transforms, loader as loader_lib
+    from ..utils.logging import get_logger, Throughput
+
+    log = get_logger("predict")
+    visits = patients.scan_directory(args.data_dir, "*.png")
+    if not visits:
+        visits = patients.scan_directory(args.data_dir, "oct_*.png")
+    if not visits:
+        raise ValueError(f"no volumes found under {args.data_dir}")
+    _, val_t = transforms.create_3d_transforms(
+        args.input_size, args.num_frames, RandFlipd_prob=0)
+    label_fn = lambda v: np.int64(0)
+    ds = patients.PatientDataset3D(
+        visits, label_fn, dataset_mode=(
+            "dicom" if visits[0].frames[0].endswith(".dcm")
+            else "volume" if visits[0].frames[0].endswith(".npy")
+            else "frame"),
+        max_frames=args.num_frames, transform=val_t, return_patient_id=True)
+    ld = loader_lib.Loader(ds, args.batch_size, shuffle=False,
+                           drop_last=False, num_workers=4)
+
+    dtype = jnp.float32 if args.precision == "fp32" else jnp.bfloat16
+    if args.precision == "fp32":
+        jax.config.update("jax_default_matmul_precision", "highest")
+    model = VisionTransformerST(
+        num_frames=args.num_frames, t_patch_size=3, img_size=args.input_size,
+        in_chans=1, num_classes=args.nb_classes,
+        embed_dim=args.embed_dim or 1024, depth=args.depth or 24,
+        num_heads=args.num_heads or 16, head_type="dropout",
+        global_pool=True, dtype=dtype)
+    x0 = jnp.zeros((args.batch_size, args.num_frames, args.input_size,
+                    args.input_size, 1))
+    params = jax.jit(model.init)(jax.random.key(0), x0)
+    if args.ckpt:
+        sd = load_torch_checkpoint(args.ckpt)
+        params, rep = import_state_dict(params, sd, strict=False)
+        log.info(f"loaded {args.ckpt}")
+
+    predict = jax.jit(
+        lambda p, x: model.apply(p, x, return_embeddings=True))
+    tput = Throughput()
+    rows = []
+    embeddings = []
+    for batch in ld:
+        vols, pids, _ = batch
+        x = jnp.asarray(vols)
+        if x.shape[0] < args.batch_size:  # pad the tail batch (static jit)
+            pad = args.batch_size - x.shape[0]
+            x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:])], 0)
+        logits, emb = predict(params, x)
+        # bf16 -> f32 on host (ml_dtypes scalars don't support float
+        # formatting, and softmax in f32 is cheap here)
+        logits = np.asarray(logits).astype(np.float32)
+        logits = logits[: len(pids)].reshape(len(pids), -1, 2)
+        e = np.exp(logits - logits.max(-1, keepdims=True))
+        probs = (e / e.sum(-1, keepdims=True))[:, :, 1]
+        for pid, p in zip(pids, probs):
+            rows.append([pid] + [f"{v:.4f}" for v in p])
+        embeddings.append(np.asarray(emb)[: len(pids)])
+        tput.update(len(pids))
+    with open(args.out_csv, "w", newline="") as f:
+        w = csv.writer(f)
+        names = DISEASES if probs.shape[1] == len(DISEASES) else \
+            [f"class_{i}" for i in range(probs.shape[1])]
+        w.writerow(["patient_id"] + names)
+        w.writerows(rows)
+    if args.dump_embeddings:
+        np.savez(args.dump_embeddings,
+                 embeddings=np.concatenate(embeddings),
+                 patient_ids=[r[0] for r in rows])
+    log.info(f"wrote {len(rows)} predictions to {args.out_csv} "
+             f"({tput.rate:.2f} volumes/s)")
+    return rows
+
+
+if __name__ == "__main__":
+    main()
