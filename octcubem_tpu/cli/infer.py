@@ -49,7 +49,6 @@ def build_model_and_params(args):
 def process_volume(path: str, num_frames: int, input_size: int) -> np.ndarray:
     """DICOM/npy -> [1, T, H, W, 1] val-transformed volume
     (inference_utils.py:24-27: monai val resize, /255)."""
-    from ..data import ingest
     from ..data.transforms import create_3d_transforms
 
     if path.endswith(".npy"):

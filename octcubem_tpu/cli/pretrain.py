@@ -275,7 +275,7 @@ def _main_2d(args):
     from ..data import loader as loader_lib, spl as spl_lib
     from ..train import optim, schedules
     from ..train.train_state import TrainState
-    from ..train.mae_engine import shard_batch, optax_global_norm
+    from ..train.mae_engine import shard_batch
     from ..utils.logging import MetricLogger, JsonlLogger, get_logger
 
     out_dir = args.output_dir or "./output_pretrain2d"

@@ -64,7 +64,6 @@ def main(argv=None):
     parser.add_argument("--save_retrieval_results", action="store_true")
     args = parser.parse_args(argv)
 
-    import dataclasses
     import jax
     import jax.numpy as jnp
 

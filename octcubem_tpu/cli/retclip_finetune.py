@@ -37,7 +37,7 @@ def main(argv=None):
     from ..models import coem
     from ..train import optim, losses
     from ..train.train_state import TrainState
-    from ..train.mae_engine import shard_batch, optax_global_norm
+    from ..train.mae_engine import shard_batch
     from ..train import metrics as metrics_lib
     from ..utils.logging import get_logger, JsonlLogger
 

@@ -12,7 +12,6 @@ visits of a patient stay on one side of the split).
 from __future__ import annotations
 
 import csv
-import dataclasses
 import json
 import os
 

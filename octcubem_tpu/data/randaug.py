@@ -12,8 +12,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from .np_resize import resize_bilinear_np
-
 _MAX_MAG = 10.0
 
 

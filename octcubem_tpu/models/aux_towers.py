@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..nn.layers import TransformerStack, LN_EPS
+from ..nn.layers import LN_EPS
 
 
 class SimpleTokenizer:

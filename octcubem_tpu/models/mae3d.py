@@ -23,7 +23,7 @@ Key behaviours reproduced:
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import numpy as np
 import jax

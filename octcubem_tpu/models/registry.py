@@ -16,8 +16,6 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Any
-
 from . import mae3d, vit_st, vit2d, vit_3dhead, coem
 
 _FAMILIES = {

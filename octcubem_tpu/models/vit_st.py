@@ -16,7 +16,7 @@ Faithfully reproduced quirks (required for checkpoint-output parity):
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax.numpy as jnp
 import flax.linen as nn

@@ -15,8 +15,6 @@ and the MLP branch, and encoders pick per their ``parity`` config.
 
 from __future__ import annotations
 
-from typing import Callable
-
 import jax
 import jax.numpy as jnp
 import flax.linen as nn

@@ -21,8 +21,6 @@ Parity targets:
 from __future__ import annotations
 
 import functools
-from typing import Callable, Optional
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import functools
-from typing import Any, Callable
+from typing import Callable
 
 import numpy as np
 import jax

@@ -13,8 +13,6 @@ none — the reference's fp16 GradScaler is a CUDA artifact, SURVEY §2.9).
 from __future__ import annotations
 
 import functools
-from typing import Any, Optional
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P

@@ -10,7 +10,7 @@ FLOPs counter, and jax.profiler trace capture for timeline inspection.
 from __future__ import annotations
 
 import csv
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import numpy as np
