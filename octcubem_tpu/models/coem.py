@@ -50,6 +50,7 @@ class OCTTower(nn.Module):
     sep_pos_embed: bool = True
     cls_embed: bool = True
     parity: str = "flash"
+    capture_cam: bool = False
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
     remat: bool = False
@@ -63,8 +64,8 @@ class OCTTower(nn.Module):
             num_heads=self.num_heads, drop_path_rate=self.drop_path_rate,
             global_pool=self.global_pool, sep_pos_embed=self.sep_pos_embed,
             cls_embed=self.cls_embed, head_type="aggregate",
-            parity=self.parity, dtype=self.dtype, attn_impl=self.attn_impl,
-            remat=self.remat)
+            parity=self.parity, capture_cam=self.capture_cam,
+            dtype=self.dtype, attn_impl=self.attn_impl, remat=self.remat)
 
     def __call__(self, x, deterministic: bool = True):
         return self.trunk(x, deterministic)
@@ -88,6 +89,7 @@ class EnfaceTower(nn.Module):
     drop_path_rate: float = 0.0
     global_pool: bool = True
     parity: str = "flash"
+    capture_cam: bool = False
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
     remat: bool = False
@@ -98,8 +100,8 @@ class EnfaceTower(nn.Module):
             in_chans=self.in_chans, num_classes=0, embed_dim=self.embed_dim,
             depth=self.depth, num_heads=self.num_heads,
             drop_path_rate=self.drop_path_rate, global_pool=self.global_pool,
-            parity=self.parity, dtype=self.dtype, attn_impl=self.attn_impl,
-            remat=self.remat)
+            parity=self.parity, capture_cam=self.capture_cam,
+            dtype=self.dtype, attn_impl=self.attn_impl, remat=self.remat)
         self.head = nn.Dense(self.out_dim, dtype=self.dtype,
                              kernel_init=nn.initializers.normal(0.02))
         self.mod_heads = [
@@ -127,6 +129,7 @@ class COEP2Tower(nn.Module):
     embed_dim: int = 512
     vision_cfg: dict = None
     enface_cfg: dict = None
+    capture_cam: bool = False
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
     remat: bool = False
@@ -134,9 +137,11 @@ class COEP2Tower(nn.Module):
     def setup(self):
         self.visual = OCTTower(out_dim=self.embed_dim, dtype=self.dtype,
                                attn_impl=self.attn_impl, remat=self.remat,
+                               capture_cam=self.capture_cam,
                                **(self.vision_cfg or {}))
         self.enface = EnfaceTower(out_dim=self.embed_dim, dtype=self.dtype,
                                   attn_impl=self.attn_impl, remat=self.remat,
+                                  capture_cam=self.capture_cam,
                                   **(self.enface_cfg or {}))
         self.logit_scale = self.param(
             "logit_scale", lambda k: jnp.asarray(LOGIT_SCALE_INIT))
@@ -169,6 +174,7 @@ class COEP3Tower(nn.Module):
     embed_dim: int = 512
     vision_cfg: dict = None
     enface_cfg: dict = None
+    capture_cam: bool = False
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
     remat: bool = False
@@ -176,11 +182,13 @@ class COEP3Tower(nn.Module):
     def setup(self):
         self.visual = OCTTower(out_dim=self.embed_dim, dtype=self.dtype,
                                attn_impl=self.attn_impl, remat=self.remat,
+                               capture_cam=self.capture_cam,
                                **(self.vision_cfg or {}))
         cfg = dict(self.enface_cfg or {})
         cfg.setdefault("num_mod_head", 2)
         self.enface = EnfaceTower(out_dim=self.embed_dim, dtype=self.dtype,
                                   attn_impl=self.attn_impl, remat=self.remat,
+                                  capture_cam=self.capture_cam,
                                   **cfg)
         self.logit_scale = self.param(
             "logit_scale", lambda k: jnp.asarray(LOGIT_SCALE_INIT))
@@ -234,9 +242,10 @@ class COEP2TowerClassification(nn.Module):
     remat: bool = False
 
     def setup(self):
-        self.clip = COEP2Tower(self.embed_dim, self.vision_cfg,
-                               self.enface_cfg, self.dtype, self.attn_impl,
-                               self.remat)
+        self.clip = COEP2Tower(
+            embed_dim=self.embed_dim, vision_cfg=self.vision_cfg,
+            enface_cfg=self.enface_cfg, dtype=self.dtype,
+            attn_impl=self.attn_impl, remat=self.remat)
         self.classification_head = ClassificationHead(
             self.embed_dim, self.num_classes, self.dtype)
 
@@ -265,9 +274,10 @@ class COEP3TowerClassification(nn.Module):
     remat: bool = False
 
     def setup(self):
-        self.clip = COEP3Tower(self.embed_dim, self.vision_cfg,
-                               self.enface_cfg, self.dtype, self.attn_impl,
-                               self.remat)
+        self.clip = COEP3Tower(
+            embed_dim=self.embed_dim, vision_cfg=self.vision_cfg,
+            enface_cfg=self.enface_cfg, dtype=self.dtype,
+            attn_impl=self.attn_impl, remat=self.remat)
         self.classification_head = ClassificationHead(
             self.embed_dim, self.num_classes, self.dtype)
 

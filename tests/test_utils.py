@@ -87,3 +87,25 @@ def test_meters_and_jsonl(tmp_path):
     import json
     rec = json.loads(open(tmp_path / "log.txt").read())
     assert rec["loss"] == 1.5
+
+
+def test_clip_pair_gradcam():
+    from octcubem_tpu.models import coem
+    V = dict(num_frames=6, t_patch_size=3, img_size=32, patch_size=16,
+             in_chans=1, embed_dim=32, depth=2, num_heads=2)
+    E = dict(img_size=32, patch_size=16, in_chans=3, embed_dim=32, depth=2,
+             num_heads=2)
+    m = coem.COEP2Tower(embed_dim=16, vision_cfg=V, enface_cfg=E,
+                        attn_impl="naive", capture_cam=True)
+    img = jax.random.normal(jax.random.key(0), (1, 6, 32, 32, 1))
+    enf = jax.random.normal(jax.random.key(1), (1, 32, 32, 3))
+    params = m.init(jax.random.key(2), img, enf)
+    assert "perturbations" in params
+    cam_oct = saliency.clip_pair_gradcam(m, params, img, enf, target="image",
+                                         grid=(2, 2, 2))
+    assert cam_oct.shape == (1, 2, 2, 2)
+    assert cam_oct.max() > 0  # similarity gradient reaches the OCT tower
+    cam_enf = saliency.clip_pair_gradcam(m, params, img, enf, target="enface",
+                                         grid=(2, 2))
+    assert cam_enf.shape == (1, 2, 2)
+    assert np.isfinite(cam_enf).all()
