@@ -77,7 +77,11 @@ class Loader:
                     i, b = job_q.get_nowait()
                 except queue.Empty:
                     return
-                batch = _collate([self.dataset[int(j)] for j in b])
+                try:
+                    batch = _collate([self.dataset[int(j)] for j in b])
+                except Exception as e:  # propagate instead of hanging
+                    out_q.put((i, e))
+                    return
                 out_q.put((i, batch))
 
         threads = [threading.Thread(target=worker, daemon=True)
@@ -90,6 +94,9 @@ class Loader:
             while next_i < nb:
                 while next_i not in results and received < nb:
                     i, batch = out_q.get()
+                    if isinstance(batch, Exception):
+                        raise RuntimeError(
+                            f"loader worker failed on batch {i}") from batch
                     results[i] = batch
                     received += 1
                 with lock:

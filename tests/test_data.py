@@ -172,3 +172,19 @@ def test_premask_vectorized():
     # every frame masks the same count, >= L/2
     assert (counts == counts[:, :1]).all()
     assert (counts >= l // 2).all()
+
+
+def test_loader_propagates_worker_errors():
+    class Broken:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            if i == 2:
+                raise IOError("corrupt volume")
+            return np.zeros((2, 2), np.float32), np.int64(i)
+
+    ld = loader.Loader(Broken(), batch_size=2, shuffle=False, num_workers=2)
+    import pytest
+    with pytest.raises(RuntimeError, match="loader worker failed"):
+        list(ld)
