@@ -80,9 +80,17 @@ class BestTracker:
 
     def update(self, epoch: int, val_metrics: dict) -> bool:
         """Returns True if this epoch is a new best (caller should save a
-        checkpoint and run the test split)."""
-        auc = val_metrics.get("roc", {}).get("macro", 0.0)
-        auprc = val_metrics.get("auprc", {}).get("macro", 0.0)
+        checkpoint and run the test split).
+
+        Classification runs rank on (AUROC, AUPRC); regression runs rank on
+        (pearson r, -MSE) — the reference regression mains track pearson
+        (engine_finetune.py:642-678)."""
+        if "pearson_r" in val_metrics:  # regression task mode
+            auc = val_metrics.get("pearson_r", 0.0)
+            auprc = -val_metrics.get("mse", float("inf"))
+        else:
+            auc = val_metrics.get("roc", {}).get("macro", 0.0)
+            auprc = val_metrics.get("auprc", {}).get("macro", 0.0)
         improved = (auc > self.best_auc) or (
             auc == self.best_auc and auprc > self.best_auprc)
         if improved:

@@ -128,3 +128,24 @@ def test_metrics_regression():
     y = np.linspace(0, 1, 20)
     m = metrics.compute_metrics("regression", y, y + 0.01)
     assert m["pearson_r"] > 0.99 and m["r2"] > 0.98
+
+
+def test_best_tracker_regression_mode():
+    from octcubem_tpu.train.finetune_engine import BestTracker
+    t = BestTracker(patience=2)
+    assert t.update(0, {"pearson_r": 0.2, "mse": 1.0}) is True
+    assert t.update(1, {"pearson_r": 0.5, "mse": 0.8}) is True
+    assert t.update(2, {"pearson_r": 0.4, "mse": 0.5}) is False
+    # tie on pearson -> lower mse wins
+    assert t.update(3, {"pearson_r": 0.5, "mse": 0.4}) is True
+    assert t.best_epoch == 3
+
+
+def test_best_tracker_classification_mode():
+    from octcubem_tpu.train.finetune_engine import BestTracker
+    t = BestTracker(patience=1)
+    m = lambda auc, pr: {"roc": {"macro": auc}, "auprc": {"macro": pr}}
+    assert t.update(0, m(0.6, 0.5)) is True
+    assert t.update(1, m(0.6, 0.6)) is True   # AUPRC tie-break
+    assert t.update(2, m(0.5, 0.9)) is False
+    assert t.should_stop
