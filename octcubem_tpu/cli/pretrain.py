@@ -139,9 +139,14 @@ def main(argv=None):
         return max(n_data, (b // n_data) * n_data)
 
     batch3d = _round_to_mesh(cfg.batch_size, len(ds3d))
-    batch2d = _round_to_mesh(max(1, cfg.batch_size_2d // 16), len(ds2d))
+    # the 2D loader serves the SPL-active (top-K hardest) subset, a live
+    # view that update_spl() reshapes each epoch (ref main:673-687); the
+    # batch is sized for the smallest K so shapes stay static under jit
+    min_active = max(1, int(len(ds2d) * cfg.spl_k_min))
+    batch2d = _round_to_mesh(max(1, cfg.batch_size_2d // 16), min_active)
+    ds2d_active = spl_state.subset(ds2d)
     ld3 = loader_lib.Loader(ds3d, batch3d, num_workers=4)
-    ld2 = loader_lib.Loader(ds2d, batch2d, num_workers=2)
+    ld2 = loader_lib.Loader(ds2d_active, batch2d, num_workers=2)
     loader2_iter = loader_lib.cycle(ld2)
     assert len(ld3) > 0, "empty train loader (batch larger than dataset?)"
     eff_batch = batch3d * cfg.accum_iter

@@ -47,6 +47,12 @@ class SPLState:
             pickle.dump(self.hardness, f)
         return path
 
+    def subset(self, dataset) -> "SPLSubset":
+        """View of `dataset` restricted to the currently active (top-K
+        hardest) images — the per-epoch 2D dataloader rebuild
+        (main_pretrain…py:673-687)."""
+        return SPLSubset(dataset, self)
+
     @classmethod
     def load(cls, path: str) -> "SPLState":
         with open(path, "rb") as f:
@@ -55,3 +61,19 @@ class SPLState:
         obj.hardness = d
         obj.active = list(d.keys())
         return obj
+
+
+class SPLSubset:
+    """Name-indexed subset of a (sample, name) dataset following the SPL
+    active list.  The view is live: update_spl() changes what it serves."""
+
+    def __init__(self, dataset, state: SPLState):
+        self.dataset = dataset
+        self.state = state
+        self._index = {name: i for i, name in enumerate(dataset.names)}
+
+    def __len__(self):
+        return len(self.state.active)
+
+    def __getitem__(self, i):
+        return self.dataset[self._index[self.state.active[i]]]

@@ -188,3 +188,23 @@ def test_loader_propagates_worker_errors():
     import pytest
     with pytest.raises(RuntimeError, match="loader worker failed"):
         list(ld)
+
+
+def test_spl_subset_live_view():
+    class Ds:
+        names = [f"img{i}" for i in range(10)]
+
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            return np.float32(i), self.names[i]
+
+    st = spl.SPLState(Ds.names)
+    sub = st.subset(Ds())
+    assert len(sub) == 10
+    st.update_hardness(Ds.names, np.arange(10))
+    st.update_spl(0.3)  # keep img9, img8, img7
+    assert len(sub) == 3
+    vals = [sub[i] for i in range(3)]
+    assert [v[1] for v in vals] == ["img9", "img8", "img7"]
