@@ -68,7 +68,8 @@ def parse_all_output(probs: np.ndarray) -> str:
     p = float(probs[highest, 1])
     disease_flag = p > 0.5
     out = "Disease probability: (Disease Name: Probability) \n"
-    for i, name in enumerate(DISEASES):
+    n = min(len(DISEASES), probs.shape[0] + 1)
+    for i, name in enumerate(DISEASES[:n]):
         if i == 0:
             val = 1 - p if disease_flag else float(np.mean(probs[:, 0]))
         else:

@@ -208,3 +208,26 @@ def test_spl_subset_live_view():
     assert len(sub) == 3
     vals = [sub[i] for i in range(3)]
     assert [v[1] for v in vals] == ["img9", "img8", "img7"]
+
+
+def test_patient_dataset_dicom_topcon(tmp_path):
+    """End-to-end: Topcon-tagged DICOM through the dataset with the
+    device-normalization chain."""
+    from octcubem_tpu.data.dicom import write_dicom
+    rng = np.random.default_rng(0)
+    vol = np.zeros((6, 800, 64), np.float32)
+    vol[:, 300:500, :] = rng.random((6, 200, 64)) * 180 + 20
+    p = tmp_path / "p0" / "v0"
+    os.makedirs(p)
+    write_dicom(str(p / "scan.dcm"), vol.astype(np.uint8),
+                manufacturer="Topcon", model="Maestro2")
+    visits = patients.scan_directory(str(tmp_path), "*.png")
+    assert len(visits) == 1 and visits[0].frames[0].endswith(".dcm")
+    tr, va = transforms.create_3d_transforms(input_size=16, num_frames=4,
+                                             RandFlipd_prob=0)
+    ds = patients.PatientDataset3D(visits, lambda v: np.int64(0),
+                                   dataset_mode="dicom", max_frames=4,
+                                   transform=va)
+    x, y = ds[0]
+    assert x.shape == (4, 16, 16, 1)
+    assert np.isfinite(x).all() and x.min() >= 0.0
