@@ -256,7 +256,9 @@ class MaskedAutoencoderViT3D(nn.Module):
         ml = mask.reshape(b, t_tokens, -1)
         frame_losses = (pl * ml).sum(axis=-1) / (ml.sum(axis=-1) + 1e-6)
 
-        loss = (per_patch * mask).sum() / mask.sum()
+        # guard: mask_ratio=0 (pure-reconstruction eval) has no masked
+        # tokens; report 0 instead of 0/0
+        loss = (per_patch * mask).sum() / jnp.maximum(mask.sum(), 1.0)
         return loss, frame_losses
 
     # ------------------------------------------------------------- forward
