@@ -186,6 +186,11 @@ def main(argv=None):
     if (cfg.resume == "latest" or cfg.resume_type == "resume_latest") \
             and ckpt_lib.latest_step(ckpt_dir) is not None:
         state, extra, step = ckpt_lib.restore_checkpoint(ckpt_dir, state)
+        # restored arrays land on one device; re-place on the mesh so they
+        # are compatible with the sharded batches
+        from ..train.mae_engine import replicate_state
+
+        state = replicate_state(state, mesh)
         start_epoch = (extra or {}).get("epoch", 0) + 1
         log.info(f"resumed from epoch {start_epoch - 1}")
 
