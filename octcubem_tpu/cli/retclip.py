@@ -193,6 +193,15 @@ def main(argv=None):
         import optax
         tx = optax.chain(tx, optim.scale_by_tree(trainable_scales))
     state = TrainState.create(params, tx, jax.random.key(cfg.seed + 1))
+    start_epoch = 0
+    ckpt_dir = os.path.join(cfg.output_dir, "ckpt")
+    if cfg.resume == "latest" and ckpt_lib.latest_step(ckpt_dir) is not None:
+        from ..train.mae_engine import replicate_state
+
+        state, extra, _ = ckpt_lib.restore_checkpoint(ckpt_dir, state)
+        state = replicate_state(state, mesh)
+        start_epoch = (extra or {}).get("epoch", 0) + 1
+        log.info(f"resumed from epoch {start_epoch - 1}")
     step_fn = clip_engine.make_clip_train_step(model, tx, three_mod=three_mod)
     jsonl = JsonlLogger(cfg.output_dir, "results.jsonl")
 
@@ -218,7 +227,7 @@ def main(argv=None):
         return m
 
     with mesh:
-        for epoch in range(cfg.epochs):
+        for epoch in range(start_epoch, cfg.epochs):
             ld.set_epoch(epoch)
             meter = MetricLogger()
             tput = Throughput()
@@ -229,9 +238,9 @@ def main(argv=None):
                 tput.update(batch)
             metrics = eval_epoch(epoch)
             if (epoch + 1) % cfg.save_frequency == 0:
-                ckpt_lib.save_checkpoint(
-                    os.path.join(cfg.output_dir, "ckpt"), epoch, state,
-                    {"epoch": epoch}, keep_last=cfg.keep_last)
+                ckpt_lib.save_checkpoint(ckpt_dir, epoch, state,
+                                         {"epoch": epoch},
+                                         keep_last=cfg.keep_last)
             log.info(f"epoch {epoch}: loss {meter.meters['loss'].global_avg:.4f} "
                      f"{tput.rate:.1f} samples/s "
                      f"R@1 {metrics.get('image_to_enface_R@1', metrics.get('image_to_enface1_R@1', 0)):.3f}")
