@@ -161,3 +161,23 @@ def test_classification_variants():
     out_im, _ = m.apply(params, img, enf, single_modality="image")
     out_en, _ = m.apply(params, img, enf, single_modality="enface")
     assert not np.allclose(np.asarray(out_im), np.asarray(out_en))
+
+
+def test_coem_json_config_registry():
+    from octcubem_tpu.models import registry
+    names = registry.list_coem_configs()
+    assert "vitl16_octcube_ir" in names
+    assert "vitl16_octcube_ef_3mod" in names
+    # tiny config builds and runs end to end
+    m = registry.create_coem_model("vitl16_octcube_ir_tiny_test",
+                                   attn_impl="naive")
+    img, enf = _inputs(2)
+    params = m.init(jax.random.key(0), img, enf)
+    fi, fe, scale = m.apply(params, img, enf)
+    assert fi.shape == (2, 16)
+    # classification wrapper from the same config
+    mc = registry.create_coem_model("vitl16_octcube_ir_tiny_test",
+                                    num_classes=3, attn_impl="naive")
+    pc = mc.init(jax.random.key(1), img, enf)
+    out, _ = mc.apply(pc, img, enf)
+    assert out.shape == (2, 3)
