@@ -144,7 +144,12 @@ def make_clip_accum_train_step(model, tx, accum_freq: int):
 
         zero = jax.tree.map(jnp.zeros_like, state.params)
         grads, loss = jax.lax.fori_loop(0, accum_freq, accum, (zero, 0.0))
-        grads = jax.tree.map(lambda g: g / accum_freq, grads)
+        # Chunk grads are SUMMED, not averaged: each chunk loss already
+        # spans the full effective batch, and each sample's grad flows
+        # through exactly one chunk's re-forward, so the sum reconstructs
+        # the full-batch gradient (reference train_retclip.py:131-168 does
+        # one backward per chunk + a single optimizer.step).  The loss is
+        # divided by accum_freq for logging only.
         state = state.apply_gradients(tx, grads).replace(rng=new_rng)
         return state, {"loss": loss / accum_freq,
                        "grad_norm": optax_global_norm(grads)}

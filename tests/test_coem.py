@@ -143,11 +143,23 @@ def test_clip_accum_matches_full_batch_loss():
     fi, fe, scale = m.apply(params, img, enf)
     full = clip_engine.clip_loss(fi, fe, scale)
 
+    # full-batch gradient reference: summed chunk grads must reconstruct
+    # it exactly (NOT divided by accum_freq — reference train_retclip.py
+    # does one backward per chunk and a single optimizer.step)
+    def loss_fn(p):
+        i, e, s = m.apply(p, img, enf)
+        return clip_engine.clip_loss(i, e, s)
+
+    from octcubem_tpu.train.mae_engine import optax_global_norm
+    full_gnorm = float(optax_global_norm(jax.grad(loss_fn)(params)))
+
     astep = clip_engine.make_clip_accum_train_step(m, tx, accum_freq=2)
     batch = {"image": img.reshape(2, 4, 6, 32, 32, 1),
              "enface": enf.reshape(2, 4, 32, 32, 3)}
     _, ametrics = astep(state, batch)
     np.testing.assert_allclose(float(ametrics["loss"]), float(full), rtol=1e-4)
+    np.testing.assert_allclose(float(ametrics["grad_norm"]), full_gnorm,
+                               rtol=1e-3)  # f32 order-of-summation noise
 
 
 def test_classification_variants():
