@@ -142,8 +142,23 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
         lse_ref[0] = m_ref[:] + jnp.log(l_safe)  # [bq, 1]
 
 
+def _normalize_blocks(block_q: int, block_k: int) -> tuple[int, int]:
+    """The grid uses nq = n_pad // block_q and nk = n_pad // block_k with
+    n_pad rounded to max(block_q, block_k); if the larger block is not a
+    multiple of the smaller, the integer division truncates and whole
+    q-blocks (or k-blocks) are silently skipped.  Force divisibility by
+    collapsing to the larger block when they don't divide evenly."""
+    if block_q == block_k:
+        return block_q, block_k
+    big, small = max(block_q, block_k), min(block_q, block_k)
+    if big % small != 0:
+        return big, big
+    return block_q, block_k
+
+
 def _fwd(q, k, v, scale, block_q, block_k, no_max: bool = True):
     bh, n, d = q.shape
+    block_q, block_k = _normalize_blocks(block_q, block_k)
     n_pad = _round_up(n, max(block_q, block_k))
     pad = n_pad - n
     if pad:
@@ -203,7 +218,7 @@ def _fwd(q, k, v, scale, block_q, block_k, no_max: bool = True):
 def _fused_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                       dq_ref, dk_ref, dv_ref,
                       dq_acc, dk_acc, dv_acc, *, scale, n_valid,
-                      block_q, block_k):
+                      block_q, block_k, no_max):
     jb = pl.program_id(1)   # k-block index (outer)
     ib = pl.program_id(2)   # q-block index (inner)
     nj = pl.num_programs(1)
@@ -230,7 +245,14 @@ def _fused_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         col = jb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < n_valid, s, NEG_INF)
     # padded q rows have lse = 0 -> p = exp(NEG_INF) = 0, harmless
-    p = jnp.exp(s - lse_ref[0])                        # [bq, bk]
+    if no_max:
+        # match the nomax forward exactly: it computed p from logits
+        # clamped at NOMAX_CLAMP, so the recomputed p must clamp too, and
+        # d(exp(min(s, C)))/ds = 0 where the clamp engaged.
+        clamped = s > NOMAX_CLAMP
+        p = jnp.exp(jnp.minimum(s, NOMAX_CLAMP) - lse_ref[0])  # [bq, bk]
+    else:
+        p = jnp.exp(s - lse_ref[0])                    # [bq, bk]
 
     dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
         p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
@@ -238,7 +260,10 @@ def _fused_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)            # [bq, bk]
-    ds = (p * (dp - delta_ref[0])).astype(q.dtype)     # [bq, bk]
+    ds = p * (dp - delta_ref[0])                       # [bq, bk]
+    if no_max:
+        ds = jnp.where(clamped, 0.0, ds)
+    ds = ds.astype(q.dtype)
     dk_acc[:] = dk_acc[:] + jax.lax.dot_general(
         ds, q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) * scale    # [bk, d]
@@ -258,11 +283,14 @@ def _fused_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
 
 
-def _bwd(scale, block_q, block_k, res, g):
+def _bwd(scale, block_q, block_k, no_max, res, g):
     q, k, v, out, lse = res
     bh, n, d = q.shape
     block_q = _pick_block(n, BWD_BLOCK_TARGET)
     block_k = _pick_block(n, BWD_BLOCK_TARGET * 2)  # wider k tile: ~9MB VMEM
+    # e.g. n=577: naive picks (512, 640); 640 % 512 != 0 would truncate
+    # nq and silently skip q rows >= 512 (dq tail exactly zero)
+    block_q, block_k = _normalize_blocks(block_q, block_k)
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
 
     n_pad = _round_up(n, max(block_q, block_k))
@@ -290,7 +318,7 @@ def _bwd(scale, block_q, block_k, res, g):
     ]
     dq, dk, dv = pl.pallas_call(
         functools.partial(_fused_bwd_kernel, scale=scale, n_valid=n,
-                          block_q=block_q, block_k=block_k),
+                          block_q=block_q, block_k=block_k, no_max=no_max),
         grid=(bh, nk, nq),
         in_specs=specs,
         out_specs=[
@@ -316,14 +344,14 @@ def _bwd(scale, block_q, block_k, res, g):
 
 # ---------------------------------------------------------------- public op
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _flash_bh(q, k, v, scale, block_q, block_k):
-    out, _ = _fwd(q, k, v, scale, block_q, block_k)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash_bh(q, k, v, scale, block_q, block_k, no_max):
+    out, _ = _fwd(q, k, v, scale, block_q, block_k, no_max=no_max)
     return out
 
 
-def _flash_bh_fwd(q, k, v, scale, block_q, block_k):
-    out, lse = _fwd(q, k, v, scale, block_q, block_k)
+def _flash_bh_fwd(q, k, v, scale, block_q, block_k, no_max):
+    out, lse = _fwd(q, k, v, scale, block_q, block_k, no_max=no_max)
     return out, (q, k, v, out, lse)
 
 
@@ -331,8 +359,16 @@ _flash_bh.defvjp(_flash_bh_fwd, _bwd)
 
 
 def flash_attention(q, k, v, scale: float | None = None,
-                    block_q: int | None = None, block_k: int | None = None):
-    """q, k, v: [B, H, N, D] -> [B, H, N, D].  Differentiable."""
+                    block_q: int | None = None, block_k: int | None = None,
+                    no_max: bool = True):
+    """q, k, v: [B, H, N, D] -> [B, H, N, D].  Differentiable.
+
+    no_max=True uses the fixed-shift softmax forward (faster; exact as
+    long as scaled logits stay below NOMAX_CLAMP=40 — clamped keys'
+    weights already saturate, and the backward applies the same clamp so
+    fwd/bwd agree).  no_max=False selects the textbook online-softmax
+    kernel, exact for any logit range.
+    """
     b, h, n, d = q.shape
     if scale is None:
         scale = d ** -0.5
@@ -343,5 +379,5 @@ def flash_attention(q, k, v, scale: float | None = None,
     qf = q.reshape(b * h, n, d)
     kf = k.reshape(b * h, n, d)
     vf = v.reshape(b * h, n, d)
-    out = _flash_bh(qf, kf, vf, float(scale), block_q, block_k)
+    out = _flash_bh(qf, kf, vf, float(scale), block_q, block_k, bool(no_max))
     return out.reshape(b, h, n, d)

@@ -40,12 +40,15 @@ def make_finetune_train_step(model, tx, criterion: Callable):
             return criterion(out, targets)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        new_state = state.apply_gradients(tx, grads).replace(rng=new_rng)
+        new_state = state.apply_gradients(tx, grads)
         # NaN guard (reference returns None -> caller halves LR,
-        # engine_finetune.py:447-449): keep old params if loss non-finite
+        # engine_finetune.py:447-449): keep old params/opt_state if the
+        # loss is non-finite — but always advance the rng, so the retry
+        # step doesn't reuse the identical dropout mask.
         ok = jnp.isfinite(loss)
         new_state = jax.tree.map(
             lambda new, old: jnp.where(ok, new, old), new_state, state)
+        new_state = new_state.replace(rng=new_rng)
         return new_state, {"loss": loss, "grad_norm": optax_global_norm(grads),
                            "finite": ok}
 

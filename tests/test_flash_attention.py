@@ -40,6 +40,75 @@ def test_grad_matches_naive():
                                    atol=5e-4, rtol=5e-4)
 
 
+@pytest.mark.parametrize("n", [577, 700])
+def test_grad_default_blocks_odd_n(n):
+    """Regression: with default backward tiles (block_q 512, block_k
+    rounded to 640/768), 512 < n <= 896 used to truncate nq and skip all
+    q rows >= 512 (dq tail exactly zero, dk/dv contributions dropped)."""
+    q, k, v = _rand_qkv(jax.random.key(7), 1, 1, n, 32)
+
+    def loss_flash(q, k, v):
+        return (flash_attention(q, k, v) ** 2).sum()
+
+    def loss_naive(q, k, v):
+        return (naive_attention(q, k, v) ** 2).sum()
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gn = jax.grad(loss_naive, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gn):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-4)
+    # the dq tail specifically must be nonzero
+    assert float(np.abs(np.asarray(gf[0])[:, :, 512:]).max()) > 0
+
+
+def test_clamped_logits_fwd_bwd_consistent():
+    """When logits exceed NOMAX_CLAMP the nomax forward clamps them; the
+    backward must recompute p with the same clamp (and zero ds there), so
+    grads match the autodiff of the clamped-softmax function."""
+    q, k, v = _rand_qkv(jax.random.key(9), 1, 1, 128, 32)
+    q = q * 40.0  # scaled logits routinely exceed the clamp
+
+    def clamped_softmax_ref(q, k, v):
+        s = jnp.einsum("bhnd,bhmd->bhnm", q, k) * (32 ** -0.5)
+        s = jnp.minimum(s, 40.0)
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("bhnm,bhmd->bhnd", p, v)
+
+    out = flash_attention(q, k, v)
+    ref = clamped_softmax_ref(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+    gf = jax.grad(lambda *a: (flash_attention(*a) ** 2).sum(),
+                  argnums=(0, 1, 2))(q, k, v)
+    gn = jax.grad(lambda *a: (clamped_softmax_ref(*a) ** 2).sum(),
+                  argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gn):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-3, rtol=1e-3)
+
+
+def test_exact_online_softmax_kernel():
+    """no_max=False selects the textbook online-softmax kernel: exact for
+    any logit range, fwd and bwd."""
+    q, k, v = _rand_qkv(jax.random.key(11), 1, 2, 300, 32)
+    q = q * 40.0
+
+    out = flash_attention(q, k, v, no_max=False)
+    ref = naive_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+    gf = jax.grad(lambda *a: (flash_attention(*a, no_max=False) ** 2).sum(),
+                  argnums=(0, 1, 2))(q, k, v)
+    gn = jax.grad(lambda *a: (naive_attention(*a) ** 2).sum(),
+                  argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gn):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-3, rtol=2e-3)
+
+
 def test_nomax_large_logits():
     """Fixed-shift softmax must stay exact for logit magnitudes far above
     typical (up to the clamp)."""
