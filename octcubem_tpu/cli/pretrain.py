@@ -53,6 +53,9 @@ def main(argv=None):
     parser = argparse.ArgumentParser("OCTCube-TPU MAE pretraining")
     parser.add_argument("--preset", default="vitl_joint_pretrain")
     parser.add_argument("--data_dir", default=None)
+    parser.add_argument("--kermany_dir", default=None,
+                        help="Kermany-style image-folder tree added to the "
+                             "2D SPL dataset (main_pretrain…py:313-330)")
     parser.add_argument("--synthetic", action="store_true")
     parser.add_argument("--synthetic_n", type=int, default=8)
     parser.add_argument("--epochs", type=int, default=None)
@@ -120,12 +123,17 @@ def main(argv=None):
         ds3d = SyntheticOCT3D(args.synthetic_n, frames, size)
         ds2d = SyntheticOCT2D(args.synthetic_n * 4, model.t_patch_size, hi_size)
     else:
+        # real joint data (main_pretrain_oph_joint_2d512_flash_attn.py:
+        # 313-355): 3D patient volumes + a 2D SPL dataset of the same
+        # patients' center B-scans plus an optional Kermany image folder
         visits = patients.scan_directory(args.data_dir, "*.png")
         _, label_fn = patients.build_labels(visits, "binary_cls")
         tr, _ = transforms.create_3d_transforms(size, frames)
         ds3d = patients.PatientDataset3D(visits, label_fn, max_frames=frames,
                                          transform=tr)
-        ds2d = SyntheticOCT2D(64, model.t_patch_size, hi_size)
+        ds2d = spl_lib.Pretrain2DDataset(
+            visits=visits, kermany_root=args.kermany_dir, size=hi_size,
+            t_patch=model.t_patch_size)
     spl_state = spl_lib.SPLState(getattr(ds2d, "names", []))
     mesh = meshlib.make_mesh(n_data=cfg.n_data, n_fsdp=cfg.n_fsdp)
     n_data = mesh.shape[meshlib.DATA_AXIS]
@@ -143,7 +151,7 @@ def main(argv=None):
     # view that update_spl() reshapes each epoch (ref main:673-687); the
     # batch is sized for the smallest K so shapes stay static under jit
     min_active = max(1, int(len(ds2d) * cfg.spl_k_min))
-    batch2d = _round_to_mesh(max(1, cfg.batch_size_2d // 16), min_active)
+    batch2d = _round_to_mesh(cfg.batch_size_2d, min_active)
     ds2d_active = spl_state.subset(ds2d)
     ld3 = loader_lib.Loader(ds3d, batch3d, num_workers=4)
     ld2 = loader_lib.Loader(ds2d_active, batch2d, num_workers=2)

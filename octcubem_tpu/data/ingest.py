@@ -58,6 +58,20 @@ def load_frame_stack(paths: list[str], mode: str = "gray",
     return np.stack(frames)
 
 
+def pad_or_crop_paths(paths: list[str], max_frames: int) -> list[str]:
+    """Mirror pad_or_crop_frames on the frame-path list: center-crop, or
+    symmetric-pad with '' placeholders for the zero frames."""
+    t = len(paths)
+    if t > max_frames:
+        start = t // 2 - max_frames // 2
+        return list(paths[start:start + max_frames])
+    if t < max_frames:
+        pad = max_frames - t
+        left = pad // 2
+        return [""] * left + list(paths) + [""] * (pad - left)
+    return list(paths)
+
+
 def pad_or_crop_frames(vol: np.ndarray, max_frames: int,
                        same_3_frames: bool = False) -> np.ndarray:
     """Center-crop or symmetric zero-pad the frame axis to max_frames

@@ -150,6 +150,7 @@ class PatientDataset3D:
     same_3_frames: bool = False
     volume_resize: tuple[int, int] | None = None
     return_patient_id: bool = False
+    return_frame_paths: bool = False
     shift_mean_std: bool = True
     seed: int = 0
 
@@ -179,6 +180,15 @@ class PatientDataset3D:
         label = self.label_fn(v)
         # channel-last for the TPU models
         sample = vol[..., None] if vol.ndim == 3 else vol
+        if self.return_frame_paths:
+            # frame paths aligned with the (padded/cropped) frame axis —
+            # the SPL hardness keys (reference keys all_image_dict by
+            # frame path, engine_pretrain.py:133-146)
+            paths = ingest.pad_or_crop_paths(
+                v.frames if self.dataset_mode == "frame"
+                else [v.frames[0]] * vol.shape[0],
+                self.max_frames or vol.shape[0])
+            return sample, tuple(paths), label
         if self.return_patient_id:
             return sample, v.patient_id, label
         return sample, label

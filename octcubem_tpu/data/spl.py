@@ -63,6 +63,80 @@ class SPLState:
         return obj
 
 
+class Pretrain2DDataset:
+    """Real 2D data for the joint high-res MAE branch: in-house center
+    B-scans + an optional Kermany-style ImageFolder tree, concatenated
+    (Inhouse_and_Kermany_Dataset, PatientDataset_pretrain.py:60-91; built
+    by the reference main at main_pretrain_oph_joint_2d512_flash_attn.py:
+    313-330).
+
+    Each item is one grayscale image augmented MAE-style (random resized
+    crop, scale 0.2-1.0, + hflip), resized to ``size``², replicated to a
+    T=``t_patch`` tube for the shared 3D patch embed, and paired with a
+    stable name (the file path) for SPL hardness tracking.
+    """
+
+    def __init__(self, visits=None, kermany_root: str | None = None,
+                 size: int = 512, t_patch: int = 3,
+                 scale: tuple = (0.2, 1.0), train: bool = True,
+                 downsample_width: bool = True, seed: int = 0,
+                 as_tube: bool = True):
+        self.size = size
+        self.t_patch = t_patch
+        self.as_tube = as_tube
+        self.scale = scale
+        self.train = train
+        self.downsample_width = downsample_width
+        self.seed = seed
+        self.entries: list[tuple[str, str]] = []  # (kind, path)
+        for v in visits or []:
+            center = v.frames[len(v.frames) // 2]
+            self.entries.append(("frame", center))
+        if kermany_root:
+            for dirpath, _, files in sorted(os.walk(kermany_root)):
+                for f in sorted(files):
+                    if f.lower().endswith(
+                            (".png", ".jpg", ".jpeg", ".bmp", ".tif")):
+                        self.entries.append(
+                            ("image", os.path.join(dirpath, f)))
+        self.names = [path for _, path in self.entries]
+
+    def __len__(self):
+        return len(self.entries)
+
+    def _load(self, kind: str, path: str) -> np.ndarray:
+        if kind == "frame":
+            from . import ingest
+
+            return ingest.load_frame_stack([path], "gray",
+                                           self.downsample_width)[0]
+        from PIL import Image
+
+        return np.asarray(Image.open(path).convert("L"), np.float32) / 255.0
+
+    def __getitem__(self, i: int):
+        from .np_resize import resize_bilinear_np
+
+        kind, path = self.entries[i]
+        img = self._load(kind, path)  # [H, W] in [0, 1]
+        h, w = img.shape
+        if self.train:
+            rng = np.random.default_rng((self.seed, i))
+            area = h * w * rng.uniform(*self.scale)
+            side = np.sqrt(area)
+            ch, cw = min(h, int(round(side))), min(w, int(round(side)))
+            top = rng.integers(0, h - ch + 1)
+            left = rng.integers(0, w - cw + 1)
+            img = img[top:top + ch, left:left + cw]
+            if rng.random() < 0.5:
+                img = img[:, ::-1]
+        img = resize_bilinear_np(img[None], (self.size, self.size))[0]
+        if not self.as_tube:  # plain 2D MAE ([S, S, 1])
+            return img[:, :, None].astype(np.float32), self.names[i]
+        tube = np.repeat(img[None, :, :, None], self.t_patch, axis=0)
+        return tube.astype(np.float32), self.names[i]
+
+
 class SPLSubset:
     """Name-indexed subset of a (sample, name) dataset following the SPL
     active list.  The view is live: update_spl() changes what it serves."""

@@ -19,6 +19,7 @@ precomputed by XLA.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -33,15 +34,36 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _pick_block(n: int, target: int = 512) -> int:
-    return min(target, _round_up(n, 128))
+    """Pick a square tile size <= target minimizing padded score area.
+
+    The kernels are bound by producing the [n_pad, n_pad] score elements
+    (measured: stripping exp/rowsum changes nothing at the ViT-L decoder
+    shape), so padding waste dominates; a mild penalty models the
+    per-tile overhead that makes very small tiles slow.  Calibrated on
+    v5e at N=5121: 896-tiles (n_pad 5376) beat 1024 (n_pad 6144) by 16%
+    fwd; 768x768 beats the old 512x1024 bwd by 18%.
+    """
+    best_b = 128
+    best_cost = None
+    for b in range(128, target + 1, 128):
+        pad = _round_up(n, b)
+        cost = pad * pad * (0.7 + 0.3 * target / b)
+        if best_cost is None or cost < best_cost:
+            best_cost, best_b = cost, b
+    return best_b
 
 
-# Measured on v5e (dec shape BH=64, N=5121, dh=32): fwd 1024-blocks run
-# ~1.45x faster than 512 (9.9ms vs 14.3ms); the fused bwd keeps 512 tiles
-# so its f32 s/p/dp/ds intermediates plus the full-sequence dq accumulator
-# stay within the ~16MB VMEM scoped limit.
+# Measured on v5e at the ViT-L decoder shape (BH=64, N=5120+cls, d=32):
+# fwd 1024-tiles on the exactly-tiled 5120 core = 6.7ms; bwd 1024-tiles
+# (needs the raised VMEM limit below) = 13.8ms vs 14.6 at 640 / ~20 at
+# 896-padded.  The cost model in _pick_block reproduces these choices.
 FWD_BLOCK_TARGET = 1024
-BWD_BLOCK_TARGET = 512
+BWD_BLOCK_TARGET = 1024
+
+
+# Raise the per-kernel scoped-VMEM ceiling (v5e has 128MB physical
+# VMEM; the default ~16MB limit rejects 1024-wide bwd tiles).
+_VMEM_LIMIT = 100 * 1024 * 1024
 
 
 def _use_interpret() -> bool:
@@ -67,7 +89,7 @@ NOMAX_CLAMP = 40.0
 
 
 def _fwd_kernel_nomax(q_ref, k_ref, v_ref, o_ref, lse_ref,
-                      acc_ref, l_ref, *, scale, n_valid, block_k):
+                      acc_ref, l_ref, *, scale, n_valid, block_k, n_pad):
     kb = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -81,9 +103,12 @@ def _fwd_kernel_nomax(q_ref, k_ref, v_ref, o_ref, lse_ref,
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
-    if n_valid % block_k != 0:
-        col = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < n_valid, s, NEG_INF)
+    # No per-tile pad masking: zero-padded k rows give s = 0 exactly, so
+    # every pad column contributes exactly e^-SHIFT to l (corrected by a
+    # compile-time constant at finalize) and 0 to acc (v pad rows are 0).
+    # f32 cancellation in the correction only matters for rows whose max
+    # scaled logit < ~-9 (true mass << pad mass) — far outside the range
+    # real attention rows produce.
     p = jnp.exp(jnp.minimum(s, NOMAX_CLAMP) - NOMAX_SHIFT)  # [bq, bk] f32
     l_ref[:] = l_ref[:] + jnp.sum(p, axis=-1, keepdims=True)
     acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
@@ -93,9 +118,52 @@ def _fwd_kernel_nomax(q_ref, k_ref, v_ref, o_ref, lse_ref,
 
     @pl.when(kb == nk - 1)
     def _finalize():
-        l = l_ref[:]
-        l_safe = jnp.where(l == 0.0, 1.0, l)
+        pad_l = math.exp(-NOMAX_SHIFT) * (n_pad - n_valid)
+        l = l_ref[:] - pad_l
+        l_safe = jnp.where(l <= 0.0, 1.0, l)
         o_ref[0] = (acc_ref[:] / l_safe).astype(o_ref.dtype)
+        lse_ref[0] = NOMAX_SHIFT + jnp.log(l_safe)
+
+
+def _fwd_kernel_nomax_cls(q_ref, k_ref, v_ref, kc_ref, vc_ref,
+                          o_ref, lse_ref, acc_ref, l_ref,
+                          *, scale, n_valid, block_k, n_pad):
+    """nomax forward with one extra (cls) key/value folded in at the
+    finalize step — everything stays in VMEM, so a cls-prefixed sequence
+    (n = m*128 + 1) runs its n-1 tokens on an exactly-tiled grid with no
+    padding waste (5121 -> core 5120 instead of 5376; 513 -> 512)."""
+    kb = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0]
+    s = jax.lax.dot_general(
+        q, k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    p = jnp.exp(jnp.minimum(s, NOMAX_CLAMP) - NOMAX_SHIFT)
+    l_ref[:] = l_ref[:] + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(kb == nk - 1)
+    def _finalize():
+        # mul+reduce instead of a [bq,d]@[d,1] dot: Mosaic can't lower
+        # N=1 mixed-dtype matmuls, and a VPU reduce is cheap at d=32
+        s_cls = jnp.sum(
+            q.astype(jnp.float32) * kc_ref[0].astype(jnp.float32),
+            axis=1, keepdims=True) * scale                     # [bq, 1]
+        p_cls = jnp.exp(jnp.minimum(s_cls, NOMAX_CLAMP) - NOMAX_SHIFT)
+        pad_l = math.exp(-NOMAX_SHIFT) * (n_pad - n_valid)
+        l = l_ref[:] + p_cls - pad_l
+        l_safe = jnp.where(l <= 0.0, 1.0, l)
+        acc = acc_ref[:] + p_cls * vc_ref[0].astype(jnp.float32)
+        o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
         lse_ref[0] = NOMAX_SHIFT + jnp.log(l_safe)
 
 
@@ -169,7 +237,7 @@ def _fwd(q, k, v, scale, block_q, block_k, no_max: bool = True):
 
     if no_max:
         kernel = functools.partial(_fwd_kernel_nomax, scale=scale, n_valid=n,
-                                   block_k=block_k)
+                                   block_k=block_k, n_pad=n_pad)
         scratch = [
             pltpu.VMEM((block_q, d), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
@@ -200,8 +268,51 @@ def _fwd(q, k, v, scale, block_q, block_k, no_max: bool = True):
             jax.ShapeDtypeStruct((bh, n_pad, 1), jnp.float32),
         ],
         scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_use_interpret(),
     )(q, k, v)
+    return out[:, :n], lse[:, :n, 0]
+
+
+def _fwd_cls(q, k, v, kc, vc, scale, block):
+    """Forward over n-1 tokens with the cls key/value folded in-kernel.
+    q/k/v: [bh, n_tok, d]; kc/vc: [bh, 1, d] -> (out [bh, n_tok, d],
+    lse [bh, n_tok]) where lse includes the cls mass."""
+    bh, n, d = q.shape
+    n_pad = _round_up(n, block)
+    pad = n_pad - n
+    if pad:
+        zp = ((0, 0), (0, pad), (0, 0))
+        q, k, v = jnp.pad(q, zp), jnp.pad(k, zp), jnp.pad(v, zp)
+    nt = n_pad // block
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel_nomax_cls, scale=scale, n_valid=n,
+                          block_k=block, n_pad=n_pad),
+        grid=(bh, nt, nt),
+        in_specs=[
+            pl.BlockSpec((1, block, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, 1, d), lambda b, i, j: (b, 0, 0)),
+            pl.BlockSpec((1, 1, d), lambda b, i, j: (b, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block, 1), lambda b, i, j: (b, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, n_pad, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block, d), jnp.float32),
+            pltpu.VMEM((block, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=_use_interpret(),
+    )(q, k, v, kc, vc)
     return out[:, :n], lse[:, :n, 0]
 
 
@@ -241,10 +352,10 @@ def _fused_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale                                          # [bq, bk]
-    if n_valid % block_k != 0:
-        col = jb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < n_valid, s, NEG_INF)
-    # padded q rows have lse = 0 -> p = exp(NEG_INF) = 0, harmless
+    # No pad-column masking needed in the backward: pad columns of p/ds
+    # only ever multiply zero-padded k/v rows (dq, dp) or land in pad ROWS
+    # of dk/dv (ds^T@q, p^T@do), which the caller slices off.  Pad q rows
+    # produce ds = 0 (do and delta are zero-padded).
     if no_max:
         # match the nomax forward exactly: it computed p from logits
         # clamped at NOMAX_CLAMP, so the recomputed p must clamp too, and
@@ -283,15 +394,101 @@ def _fused_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
 
 
+def _fused_bwd_kernel_cls(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                          kc_ref, vc_ref,
+                          dq_ref, dk_ref, dv_ref, dkc_ref, dvc_ref,
+                          dq_acc, dk_acc, dv_acc, dkc_acc, dvc_acc,
+                          *, scale, block_q):
+    """Fused backward with the cls key/value contributions accumulated
+    in-kernel (once per q-tile, at the first k-block)."""
+    jb = pl.program_id(1)
+    ib = pl.program_id(2)
+    nj = pl.num_programs(1)
+    ni = pl.num_programs(2)
+
+    @pl.when((jb == 0) & (ib == 0))
+    def _init_dq():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+        dkc_acc[:] = jnp.zeros_like(dkc_acc)
+        dvc_acc[:] = jnp.zeros_like(dvc_acc)
+
+    @pl.when(ib == 0)
+    def _init_dkv():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    clamped = s > NOMAX_CLAMP
+    p = jnp.exp(jnp.minimum(s, NOMAX_CLAMP) - lse_ref[0])
+
+    dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    ds = p * (dp - delta_ref[0])
+    ds = jnp.where(clamped, 0.0, ds).astype(q.dtype)
+    dk_acc[:] = dk_acc[:] + jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    dq_tile = jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+
+    @pl.when(jb == 0)
+    def _cls_contrib():
+        # mul+reduce instead of skinny dots (Mosaic can't lower N=1
+        # mixed-dtype matmuls; VPU reduces are cheap at d=32)
+        qf32 = q.astype(jnp.float32)
+        dof32 = do.astype(jnp.float32)
+        kcf = kc_ref[0].astype(jnp.float32)                    # [1, d]
+        vcf = vc_ref[0].astype(jnp.float32)                    # [1, d]
+        s_cls = jnp.sum(qf32 * kcf, axis=1, keepdims=True) * scale
+        clamped_c = s_cls > NOMAX_CLAMP
+        p_cls = jnp.exp(jnp.minimum(s_cls, NOMAX_CLAMP) - lse_ref[0])
+        dp_cls = jnp.sum(dof32 * vcf, axis=1, keepdims=True)   # [bq, 1]
+        ds_cls = p_cls * (dp_cls - delta_ref[0])
+        ds_cls = jnp.where(clamped_c, 0.0, ds_cls)             # [bq, 1]
+        dvc_acc[:] = dvc_acc[:] + jnp.sum(p_cls * dof32, axis=0,
+                                          keepdims=True)       # [1, d]
+        dkc_acc[:] = dkc_acc[:] + jnp.sum(ds_cls * qf32, axis=0,
+                                          keepdims=True) * scale
+        dq_acc[pl.ds(ib * block_q, block_q), :] = (
+            dq_acc[pl.ds(ib * block_q, block_q), :]
+            + ds_cls * kcf * scale)
+
+    dq_acc[pl.ds(ib * block_q, block_q), :] = (
+        dq_acc[pl.ds(ib * block_q, block_q), :] + dq_tile)
+
+    @pl.when(ib == ni - 1)
+    def _write_dkv():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+    @pl.when((jb == nj - 1) & (ib == ni - 1))
+    def _write_dq():
+        dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
+        dkc_ref[0] = dkc_acc[:].astype(dkc_ref.dtype)
+        dvc_ref[0] = dvc_acc[:].astype(dvc_ref.dtype)
+
+
 def _bwd(scale, block_q, block_k, no_max, res, g):
     q, k, v, out, lse = res
+    g, g_lse = g  # cotangents of (out, lse)
     bh, n, d = q.shape
-    block_q = _pick_block(n, BWD_BLOCK_TARGET)
-    block_k = _pick_block(n, BWD_BLOCK_TARGET * 2)  # wider k tile: ~9MB VMEM
-    # e.g. n=577: naive picks (512, 640); 640 % 512 != 0 would truncate
-    # nq and silently skip q rows >= 512 (dq tail exactly zero)
-    block_q, block_k = _normalize_blocks(block_q, block_k)
-    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    block_q = block_k = _pick_block(n, BWD_BLOCK_TARGET)
+    # ds = p * (dp - delta + g_lse): the lse cotangent (d lse / d s_j =
+    # p_j) folds into the existing delta term — no kernel change needed.
+    delta = (jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
+                     axis=-1)
+             - g_lse.astype(jnp.float32))
 
     n_pad = _round_up(n, max(block_q, block_k))
     pad = n_pad - n
@@ -336,26 +533,135 @@ def _bwd(scale, block_q, block_k, no_max, res, g):
             pltpu.VMEM((block_k, d), jnp.float32),   # dk accumulator
             pltpu.VMEM((block_k, d), jnp.float32),   # dv accumulator
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_use_interpret(),
     )(q, k, v, g, lse, delta)
 
     return dq[:, :n], dk[:, :n], dv[:, :n]
 
 
+def _bwd_cls(scale, block, res, g):
+    q, k, v, kc, vc, out, lse = res
+    g, g_lse = g
+    bh, n, d = q.shape
+    delta = (jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
+                     axis=-1)
+             - g_lse.astype(jnp.float32))
+    bwd_block = _pick_block(n, BWD_BLOCK_TARGET)
+    n_pad = _round_up(n, bwd_block)
+    pad = n_pad - n
+    if pad:
+        zp = ((0, 0), (0, pad), (0, 0))
+        q, k, v, g = (jnp.pad(a, zp) for a in (q, k, v, g))
+        lse = jnp.pad(lse, ((0, 0), (0, pad)))
+        delta = jnp.pad(delta, ((0, 0), (0, pad)))
+    lse = lse[..., None]
+    delta = delta[..., None]
+    nt = n_pad // bwd_block
+
+    dq, dk, dv, dkc, dvc = pl.pallas_call(
+        functools.partial(_fused_bwd_kernel_cls, scale=scale,
+                          block_q=bwd_block),
+        grid=(bh, nt, nt),
+        in_specs=[
+            pl.BlockSpec((1, bwd_block, d), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, bwd_block, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, bwd_block, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, bwd_block, d), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, bwd_block, 1), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, bwd_block, 1), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, 1, d), lambda b, j, i: (b, 0, 0)),
+            pl.BlockSpec((1, 1, d), lambda b, j, i: (b, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n_pad, d), lambda b, j, i: (b, 0, 0)),
+            pl.BlockSpec((1, bwd_block, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, bwd_block, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, 1, d), lambda b, j, i: (b, 0, 0)),
+            pl.BlockSpec((1, 1, d), lambda b, j, i: (b, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, n_pad, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, n_pad, d), v.dtype),
+            jax.ShapeDtypeStruct((bh, 1, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, 1, d), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n_pad, d), jnp.float32),
+            pltpu.VMEM((bwd_block, d), jnp.float32),
+            pltpu.VMEM((bwd_block, d), jnp.float32),
+            pltpu.VMEM((1, d), jnp.float32),
+            pltpu.VMEM((1, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=_use_interpret(),
+    )(q, k, v, g, lse, delta, kc, vc)
+    return dq[:, :n], dk[:, :n], dv[:, :n], dkc, dvc
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _flash_bh_cls(q, k, v, kc, vc, scale, block):
+    return _fwd_cls(q, k, v, kc, vc, scale, block)
+
+
+def _flash_bh_cls_fwd(q, k, v, kc, vc, scale, block):
+    out, lse = _fwd_cls(q, k, v, kc, vc, scale, block)
+    return (out, lse), (q, k, v, kc, vc, out, lse)
+
+
+_flash_bh_cls.defvjp(_flash_bh_cls_fwd, _bwd_cls)
+
+
 # ---------------------------------------------------------------- public op
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def _flash_bh(q, k, v, scale, block_q, block_k, no_max):
-    out, _ = _fwd(q, k, v, scale, block_q, block_k, no_max=no_max)
-    return out
+    """[BH, N, D] core -> (out [BH, N, D], lse [BH, N]).  The lse output
+    is differentiable (its cotangent folds into the bwd delta term), which
+    lets callers compose exact corrections around the kernel."""
+    return _fwd(q, k, v, scale, block_q, block_k, no_max=no_max)
 
 
 def _flash_bh_fwd(q, k, v, scale, block_q, block_k, no_max):
     out, lse = _fwd(q, k, v, scale, block_q, block_k, no_max=no_max)
-    return out, (q, k, v, out, lse)
+    return (out, lse), (q, k, v, out, lse)
 
 
 _flash_bh.defvjp(_flash_bh_fwd, _bwd)
+
+
+def _split_cls_attention(q, k, v, scale):
+    """Exact attention for a cls-prefixed sequence (n = m*128 + 1): the
+    first token's key/value are folded into the kernel epilogue
+    (in-VMEM), so the core tiles the remaining n-1 tokens exactly —
+    zero padding waste (5121 -> core 5120 instead of 5376; 513 -> 512).
+    At the ViT-L decoder shape the kernel is bound by producing the
+    padded [n_pad, n_pad] score elements, so the padding is the cost.
+    The cls QUERY row is one plain softmax row in XLA (cheap gemv)."""
+    b, h, n, d = q.shape
+    bh = b * h
+    qf = q.reshape(bh, n, d)
+    kf = k.reshape(bh, n, d)
+    vf = v.reshape(bh, n, d)
+
+    block = _pick_block(n - 1, FWD_BLOCK_TARGET)
+    out_tok, _ = _flash_bh_cls(qf[:, 1:], kf[:, 1:], vf[:, 1:],
+                               kf[:, :1], vf[:, :1], scale, block)
+
+    # cls query: one full softmax row (cheap gemv pair, plain XLA).
+    # preferred_element_type instead of .astype: casting kf/vf would
+    # materialize full f32 copies of the key/value arrays.
+    s_row = jnp.einsum("bod,bnd->bon", qf[:, :1], kf,
+                       preferred_element_type=jnp.float32) * scale
+    p_row = jax.nn.softmax(s_row, axis=-1)
+    out_cls = jnp.einsum("bon,bnd->bod", p_row.astype(q.dtype), vf,
+                         preferred_element_type=jnp.float32).astype(q.dtype)
+
+    out = jnp.concatenate([out_cls, out_tok], axis=1)
+    return out.reshape(b, h, n, d)
 
 
 def flash_attention(q, k, v, scale: float | None = None,
@@ -368,10 +674,17 @@ def flash_attention(q, k, v, scale: float | None = None,
     weights already saturate, and the backward applies the same clamp so
     fwd/bwd agree).  no_max=False selects the textbook online-softmax
     kernel, exact for any logit range.
+
+    cls-prefixed sequences (n % 128 == 1, the ViT convention) route
+    through _split_cls_attention: the first token is folded in outside
+    the kernel so the core tiles the remaining n-1 tokens exactly.
     """
     b, h, n, d = q.shape
     if scale is None:
         scale = d ** -0.5
+    if (block_q is None and block_k is None and no_max
+            and n % 128 == 1 and n > 128):
+        return _split_cls_attention(q, k, v, float(scale))
     if block_q is None:
         block_q = _pick_block(n, FWD_BLOCK_TARGET)
     if block_k is None:
@@ -379,5 +692,6 @@ def flash_attention(q, k, v, scale: float | None = None,
     qf = q.reshape(b * h, n, d)
     kf = k.reshape(b * h, n, d)
     vf = v.reshape(b * h, n, d)
-    out = _flash_bh(qf, kf, vf, float(scale), block_q, block_k, bool(no_max))
+    out, _ = _flash_bh(qf, kf, vf, float(scale), block_q, block_k,
+                       bool(no_max))
     return out.reshape(b, h, n, d)

@@ -1,0 +1,68 @@
+"""Kernel microbenchmark at the ViT-L MAE decoder shape (the hot op).
+
+Usage: python scripts/kbench.py [fwd|bwd|both] [iters]
+Chains iterations on device via lax.fori_loop (the axon relay does not
+sync through block_until_ready; one host read closes the window).
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from octcubem_tpu.ops.flash_attention import flash_attention
+
+MODE = sys.argv[1] if len(sys.argv) > 1 else "both"
+ITERS = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+B, H, N, D = 4, 16, int(os.environ.get("KB_N", "5121")), 32
+
+if os.environ.get("KB_BWDQ"):
+    import octcubem_tpu.ops.flash_attention as _fa
+    _fa.BWD_BLOCK_TARGET = int(os.environ["KB_BWDQ"])
+
+key = jax.random.key(0)
+q = jax.random.normal(key, (B, H, N, D), jnp.bfloat16)
+k = jax.random.normal(key, (B, H, N, D), jnp.bfloat16)
+v = jax.random.normal(key, (B, H, N, D), jnp.bfloat16)
+
+
+def timeit(name, fn, *args):
+    @jax.jit
+    def loop(*a):
+        def body(i, carry):
+            out = fn(*[c + 0 if j == 0 else c for j, c in enumerate(carry)])
+            return tuple(o.astype(c.dtype) for o, c in zip(out, carry))
+        return jax.lax.fori_loop(0, ITERS, body, a)
+
+    r = loop(*args)
+    _ = float(jax.tree.leaves(r)[0].sum())  # compile + warmup sync
+    t0 = time.time()
+    r = loop(*args)
+    _ = float(jax.tree.leaves(r)[0].sum())
+    dt = (time.time() - t0) / ITERS * 1000
+    print(f"{name}: {dt:.2f} ms/iter")
+    return dt
+
+
+if MODE in ("fwd", "both"):
+    def fwd_only(q, k, v):
+        o = flash_attention(q, k, v)
+        return (o, k, v)
+
+    timeit(f"fwd  (B{B} H{H} N{N} D{D})", fwd_only, q, k, v)
+
+if MODE in ("bwd", "both"):
+    def fwdbwd(q, k, v):
+        def loss(q, k, v):
+            return (flash_attention(q, k, v).astype(jnp.float32) ** 2).sum()
+        g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        return g
+
+    timeit(f"f+b  (B{B} H{H} N{N} D{D})", fwdbwd, q, k, v)

@@ -62,6 +62,25 @@ def test_grad_default_blocks_odd_n(n):
     assert float(np.abs(np.asarray(gf[0])[:, :, 512:]).max()) > 0
 
 
+@pytest.mark.parametrize("n", [129, 257, 513])
+def test_split_cls_path(n):
+    """cls-prefixed sequences (n % 128 == 1) route the first token outside
+    the kernel; fwd and grads must match naive attention exactly."""
+    q, k, v = _rand_qkv(jax.random.key(13), 1, 2, n, 32)
+    out = flash_attention(q, k, v)
+    ref = naive_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-5, rtol=5e-5)
+
+    gf = jax.grad(lambda *a: (flash_attention(*a) ** 2).sum(),
+                  argnums=(0, 1, 2))(q, k, v)
+    gn = jax.grad(lambda *a: (naive_attention(*a) ** 2).sum(),
+                  argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gn):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-4)
+
+
 def test_clamped_logits_fwd_bwd_consistent():
     """When logits exceed NOMAX_CLAMP the nomax forward clamps them; the
     backward must recompute p with the same clamp (and zero ds there), so
