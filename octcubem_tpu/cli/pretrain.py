@@ -20,9 +20,13 @@ import numpy as np
 
 
 class SyntheticOCT3D:
-    def __init__(self, n, frames, size, seed=0):
+    """Synthetic volumes; frame 'paths' reuse SyntheticOCT2D's names so
+    the SPL frame-loss write-back path is exercised end to end."""
+
+    def __init__(self, n, frames, size, seed=0, n_names=0):
         self.n, self.frames, self.size = n, frames, size
         self.seed = seed
+        self.n_names = n_names
 
     def __len__(self):
         return self.n
@@ -30,7 +34,10 @@ class SyntheticOCT3D:
     def __getitem__(self, i):
         rng = np.random.default_rng((self.seed, i))
         vol = rng.random((self.frames, self.size, self.size, 1), np.float32)
-        return vol.astype(np.float32), np.int64(0)
+        names = tuple(
+            f"img{(i * self.frames + t) % self.n_names}" if self.n_names
+            else "" for t in range(self.frames))
+        return vol.astype(np.float32), names, np.int64(0)
 
 
 class SyntheticOCT2D:
@@ -120,8 +127,9 @@ def main(argv=None):
 
     # ---- data
     if args.synthetic or args.data_dir is None:
-        ds3d = SyntheticOCT3D(args.synthetic_n, frames, size)
         ds2d = SyntheticOCT2D(args.synthetic_n * 4, model.t_patch_size, hi_size)
+        ds3d = SyntheticOCT3D(args.synthetic_n, frames, size,
+                              n_names=len(ds2d.names))
     else:
         # real joint data (main_pretrain_oph_joint_2d512_flash_attn.py:
         # 313-355): 3D patient volumes + a 2D SPL dataset of the same
@@ -130,7 +138,8 @@ def main(argv=None):
         _, label_fn = patients.build_labels(visits, "binary_cls")
         tr, _ = transforms.create_3d_transforms(size, frames)
         ds3d = patients.PatientDataset3D(visits, label_fn, max_frames=frames,
-                                         transform=tr)
+                                         transform=tr,
+                                         return_frame_paths=True)
         ds2d = spl_lib.Pretrain2DDataset(
             visits=visits, kermany_root=args.kermany_dir, size=hi_size,
             t_patch=model.t_patch_size)
@@ -214,7 +223,7 @@ def main(argv=None):
         eval_fn = make_mae_eval_step(model)
         losses = []
         with mesh:
-            for it, (vols, _) in enumerate(ld3):
+            for it, (vols, _, _) in enumerate(ld3):
                 b3 = shard_batch(jnp.asarray(vols), mesh)
                 out = eval_fn(state.params, b3, jax.random.key(it))
                 losses.append(float(out["loss"]))
@@ -239,11 +248,11 @@ def main(argv=None):
             ld3.set_epoch(epoch)
             meter = MetricLogger()
             t0 = time.time()
-            for it, (vols, _) in enumerate(
+            for it, (vols, fpaths, _) in enumerate(
                     meter.log_every(ld3, 10, f"Epoch [{epoch}]", logger=log)):
                 if args.steps_per_epoch and it >= args.steps_per_epoch:
                     break
-                imgs2d, names2d = next(loader2_iter)
+                imgs2d, _ = next(loader2_iter)
                 b3 = shard_batch(jnp.asarray(vols), mesh)
                 b2 = shard_batch(jnp.asarray(imgs2d), mesh)
                 # blank-region pre-mask is computed inside the jitted step
@@ -258,9 +267,12 @@ def main(argv=None):
                     deleted = ckpt_lib.delete_recent_checkpoints(ckpt_dir, 2)
                     log.info(f"removed checkpoints {deleted} after NaN")
                     raise RuntimeError(f"Loss is {loss}, stopping training")
-                # SPL hardness: per-frame losses -> 2D image hardness
-                fl = np.asarray(metrics["frame_losses"]).mean(axis=1)
-                spl_state.update_hardness(list(names2d), fl[: len(names2d)])
+                # SPL hardness: the 3D batch's per-tube frame losses are
+                # written into the frame-keyed 2D hardness dict
+                # (engine_pretrain.py:133-146) — NOT the 2D batch's names
+                spl_state.update_from_volume_losses(
+                    list(zip(*fpaths)), metrics["frame_losses"],
+                    model.t_patch_size)
                 meter.update(loss=loss, loss_3d=float(metrics["loss_3d"]),
                              loss_2d=float(metrics["loss_2d"]),
                              grad_norm=float(metrics["grad_norm"]))
@@ -317,7 +329,18 @@ def _main_2d(args):
             rng = np.random.default_rng((7, i))
             return (rng.random((size, size, 1), np.float32), self.names[i])
 
-    ds = Synth2D()
+    if args.data_dir and not args.synthetic:
+        # real 2D data: in-house frame tree and/or a Kermany-style image
+        # folder (OCTCube/main_pretrain_oph_new.py / main_pretrain.py)
+        from ..data import patients
+
+        visits = (patients.scan_directory(args.data_dir, "*.png")
+                  if args.data_dir else [])
+        ds = spl_lib.Pretrain2DDataset(
+            visits=visits, kermany_root=args.kermany_dir, size=size,
+            as_tube=False)
+    else:
+        ds = Synth2D()
     spl_state = spl_lib.SPLState(ds.names)
     mesh = meshlib.make_mesh()
     n_data = mesh.shape[meshlib.DATA_AXIS]

@@ -32,6 +32,27 @@ class SPLState:
                 e["hardness"] = float(l)
                 e["visited"] += 1
 
+    def update_from_volume_losses(self, frame_paths, tube_losses,
+                                  t_patch: int) -> None:
+        """Write the 3D batch's per-temporal-tube MSEs into the
+        frame-keyed hardness dict (engine_pretrain.py:133-146): tube k of
+        volume j covers frames [k*t_patch, (k+1)*t_patch); each of those
+        frame names gets the tube's loss.  Padded frames ('' paths) and
+        names outside the dict are skipped."""
+        tube_losses = np.asarray(tube_losses)
+        for j, vol_paths in enumerate(frame_paths):
+            for k, l in enumerate(tube_losses[j].ravel()):
+                for fr in range(t_patch):
+                    idx = k * t_patch + fr
+                    if idx >= len(vol_paths):
+                        break
+                    name = vol_paths[idx]
+                    if name in self.hardness:
+                        e = self.hardness[name]
+                        e["mse_loss"] = float(l)
+                        e["hardness"] = float(l)
+                        e["visited"] += 1
+
     def update_spl(self, k: float) -> list[str]:
         """Keep the top-K fraction hardest images
         (PatientDataset_pretrain.py:126-146). Returns the active list."""
@@ -90,8 +111,11 @@ class Pretrain2DDataset:
         self.seed = seed
         self.entries: list[tuple[str, str]] = []  # (kind, path)
         for v in visits or []:
-            center = v.frames[len(v.frames) // 2]
-            self.entries.append(("frame", center))
+            # ALL frames of every visit (get_all_image_list_and_dict,
+            # PatientDataset_pretrain.py:118) — the SPL dict is keyed by
+            # frame path and hardness comes from the 3D batch's tubes
+            for f in v.frames:
+                self.entries.append(("frame", f))
         if kermany_root:
             for dirpath, _, files in sorted(os.walk(kermany_root)):
                 for f in sorted(files):

@@ -19,7 +19,51 @@ def test_pretrain_cli_smoke(tmp_path):
     assert os.path.isdir(os.path.join(out, "ckpt", "0"))
 
 
-def test_finetune_cli_smoke(tmp_path):
+def _write_png(path, rng, size=40):
+    from PIL import Image
+
+    arr = (rng.random((size, size)) * 255).astype(np.uint8)
+    Image.fromarray(arr, mode="L").save(path)
+
+
+def test_pretrain_cli_real_joint_data(tmp_path):
+    """Joint pretrain over a real (fixture) PNG patient tree + a
+    Kermany-style image folder: the 2D SPL dataset is frames+Kermany,
+    hardness is written back keyed by the 3D batch's frame paths, and
+    SPL reselects the top-K across epochs
+    (main_pretrain_oph_joint_2d512_flash_attn.py:313-330,668-687)."""
+    import pickle
+
+    from octcubem_tpu.cli import pretrain
+
+    rng = np.random.default_rng(0)
+    data = tmp_path / "data"
+    for p in range(8):  # >= the 8-device CPU test mesh
+        d = data / f"p{p}" / "v0"
+        d.mkdir(parents=True)
+        for t in range(6):
+            _write_png(str(d / f"oct_{t:03d}.png"), rng)
+    kermany = tmp_path / "kermany"
+    for cls in ("NORMAL", "CNV"):
+        d = kermany / cls
+        d.mkdir(parents=True)
+        for i in range(3):
+            _write_png(str(d / f"k{i}.png"), rng)
+
+    out = str(tmp_path / "pt")
+    pretrain.main(["--data_dir", str(data), "--kermany_dir", str(kermany),
+                   "--tiny", "--epochs", "2", "--batch_size", "8",
+                   "--output_dir", out])
+
+    with open(os.path.join(out, "all_image_dict-1.pkl"), "rb") as f:
+        hard = pickle.load(f)
+    # dict keyed by real paths: 8 visits x 6 frames + 6 kermany images
+    assert len(hard) == 54
+    assert any("kermany" in k for k in hard)
+    # the 3D batch's frame losses were written back by frame path
+    visited = [k for k, v in hard.items() if v["visited"] > 0]
+    assert visited and all(str(data) in k for k in visited)
+    assert all(hard[k]["hardness"] > 0 for k in visited)
     from octcubem_tpu.cli import finetune
 
     out = str(tmp_path / "ft")
