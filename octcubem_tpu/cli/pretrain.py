@@ -155,18 +155,21 @@ def main(argv=None):
                 f"divisible by {n_data} devices")
         return max(n_data, (b // n_data) * n_data)
 
-    batch3d = _round_to_mesh(cfg.batch_size, len(ds3d))
+    accum = max(1, cfg.accum_iter)
+    batch3d = _round_to_mesh(cfg.batch_size, len(ds3d) // accum)
     # the 2D loader serves the SPL-active (top-K hardest) subset, a live
     # view that update_spl() reshapes each epoch (ref main:673-687); the
     # batch is sized for the smallest K so shapes stay static under jit
     min_active = max(1, int(len(ds2d) * cfg.spl_k_min))
-    batch2d = _round_to_mesh(cfg.batch_size_2d, min_active)
+    batch2d = _round_to_mesh(cfg.batch_size_2d, min_active // accum)
     ds2d_active = spl_state.subset(ds2d)
-    ld3 = loader_lib.Loader(ds3d, batch3d, num_workers=4)
-    ld2 = loader_lib.Loader(ds2d_active, batch2d, num_workers=2)
+    # accum_iter > 1: the loaders serve accum microbatches per step
+    # (lax.scan in the engine accumulates grads, one optimizer update)
+    ld3 = loader_lib.Loader(ds3d, batch3d * accum, num_workers=4)
+    ld2 = loader_lib.Loader(ds2d_active, batch2d * accum, num_workers=2)
     loader2_iter = loader_lib.cycle(ld2)
     assert len(ld3) > 0, "empty train loader (batch larger than dataset?)"
-    eff_batch = batch3d * cfg.accum_iter
+    eff_batch = batch3d * accum
     lr = schedules.scale_base_lr(cfg.blr, eff_batch)
     steps_per_epoch = args.steps_per_epoch or max(1, len(ld3))
     sched = schedules.warmup_half_cosine(lr, cfg.min_lr, cfg.warmup_epochs,
@@ -212,7 +215,8 @@ def main(argv=None):
         log.info(f"resumed from epoch {start_epoch - 1}")
 
     step_fn = make_mae_train_step(model, tx, joint=True,
-                                  use_premask=cfg.use_premask)
+                                  use_premask=cfg.use_premask,
+                                  accum_iter=accum)
     jsonl = JsonlLogger(cfg.output_dir)
 
     if args.eval_only:
@@ -253,8 +257,18 @@ def main(argv=None):
                 if args.steps_per_epoch and it >= args.steps_per_epoch:
                     break
                 imgs2d, _ = next(loader2_iter)
-                b3 = shard_batch(jnp.asarray(vols), mesh)
-                b2 = shard_batch(jnp.asarray(imgs2d), mesh)
+                if accum > 1:
+                    from ..train.mae_engine import shard_microbatch
+
+                    v3 = jnp.asarray(vols)
+                    v2 = jnp.asarray(imgs2d)
+                    b3 = shard_microbatch(
+                        v3.reshape((accum, batch3d) + v3.shape[1:]), mesh)
+                    b2 = shard_microbatch(
+                        v2.reshape((accum, batch2d) + v2.shape[1:]), mesh)
+                else:
+                    b3 = shard_batch(jnp.asarray(vols), mesh)
+                    b2 = shard_batch(jnp.asarray(imgs2d), mesh)
                 # blank-region pre-mask is computed inside the jitted step
                 # (use_premask), so patch embeddings are computed once
                 state, metrics = step_fn(

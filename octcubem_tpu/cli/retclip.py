@@ -48,6 +48,39 @@ class SyntheticPairs:
         return vol.astype(np.float32), enf.astype(np.float32)
 
 
+class _Subset:
+    def __init__(self, ds, idx):
+        self.ds, self.idx = ds, list(idx)
+
+    def __len__(self):
+        return len(self.idx)
+
+    def __getitem__(self, i):
+        return self.ds[self.idx[i]]
+
+
+def _split_train_val(ds, val_frac: float = 0.2, seed: int = 0):
+    """Patient-level train/val split (reuses the kfold grouping idea,
+    data/patients.py::kfold_patient_split): all of a patient's visits go
+    to the same side so retrieval is measured on unseen patients.
+    Datasets without patient structure (synthetic) split by index."""
+    records = getattr(ds, "records", None)
+    if records is not None:
+        import dataclasses as _dc
+
+        pids = sorted({r.visit.patient_id for r in records})
+        rng = np.random.default_rng(seed)
+        n_val = max(1, int(len(pids) * val_frac))
+        val_ids = set(np.asarray(pids)[rng.permutation(len(pids))[:n_val]])
+        tr = [r for r in records if r.visit.patient_id not in val_ids]
+        va = [r for r in records if r.visit.patient_id in val_ids]
+        return (_dc.replace(ds, records=tr), _dc.replace(ds, records=va))
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(len(ds))
+    n_val = max(1, int(len(ds) * val_frac))
+    return _Subset(ds, perm[n_val:]), _Subset(ds, perm[:n_val])
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser("OCTCube-TPU retclip training")
     parser.add_argument("--preset", default="octcube_ir")
@@ -120,11 +153,22 @@ def main(argv=None):
     else:
         ds = SyntheticPairs(args.synthetic_n, frames, osize, esize, three_mod)
 
+    # patient-level train/val split: retrieval is evaluated on HELD-OUT
+    # pairs only (reference main_retclip.py:270 + train_retclip.py:243-249
+    # evaluate a separate val loader, never the train set)
+    ds_train, ds_val = _split_train_val(ds, val_frac=0.2, seed=cfg.seed)
+    log.info(f"train/val pairs: {len(ds_train)}/{len(ds_val)}")
+
     mesh = meshlib.make_mesh(n_data=cfg.n_data, n_fsdp=cfg.n_fsdp)
     n_data = mesh.shape[meshlib.DATA_AXIS]
     batch = max(n_data, (cfg.batch_size // n_data) * n_data)
-    ld = loader_lib.Loader(ds, batch, num_workers=4, seed=cfg.seed)
-    ld_eval = loader_lib.Loader(ds, batch, shuffle=False, drop_last=False,
+    # feature-cached grad accumulation (train_retclip.py:131-168): the
+    # loader serves accum_freq chunks per step; effective batch is
+    # batch * accum_freq
+    accum = max(1, cfg.accum_freq)
+    ld = loader_lib.Loader(ds_train, batch * accum, num_workers=4,
+                           seed=cfg.seed)
+    ld_eval = loader_lib.Loader(ds_val, batch, shuffle=False, drop_last=False,
                                 num_workers=2)
 
     def to_batch(items):
@@ -202,7 +246,13 @@ def main(argv=None):
         state = replicate_state(state, mesh)
         start_epoch = (extra or {}).get("epoch", 0) + 1
         log.info(f"resumed from epoch {start_epoch - 1}")
-    step_fn = clip_engine.make_clip_train_step(model, tx, three_mod=three_mod)
+    if accum > 1:
+        step_fn = (clip_engine.make_clip_accum_train_step_3mod(model, tx, accum)
+                   if three_mod
+                   else clip_engine.make_clip_accum_train_step(model, tx, accum))
+    else:
+        step_fn = clip_engine.make_clip_train_step(model, tx,
+                                                   three_mod=three_mod)
     jsonl = JsonlLogger(cfg.output_dir, "results.jsonl")
 
     def eval_epoch(epoch):
@@ -232,10 +282,18 @@ def main(argv=None):
             meter = MetricLogger()
             tput = Throughput()
             for items in meter.log_every(ld, 10, f"Epoch [{epoch}]", logger=log):
-                b = {k: shard_batch(v, mesh) for k, v in to_batch(items).items()}
+                b = to_batch(items)
+                if accum > 1:
+                    from ..train.mae_engine import shard_microbatch
+
+                    b = {k: shard_microbatch(
+                            v.reshape((accum, batch) + v.shape[1:]), mesh)
+                         for k, v in b.items()}
+                else:
+                    b = {k: shard_batch(v, mesh) for k, v in b.items()}
                 state, m = step_fn(state, b)
                 meter.update(loss=float(m["loss"]))
-                tput.update(batch)
+                tput.update(batch * accum)
             metrics = eval_epoch(epoch)
             if (epoch + 1) % cfg.save_frequency == 0:
                 ckpt_lib.save_checkpoint(ckpt_dir, epoch, state,

@@ -157,6 +157,51 @@ def make_clip_accum_train_step(model, tx, accum_freq: int):
     return step
 
 
+def make_clip_accum_train_step_3mod(model, tx, accum_freq: int):
+    """3-modality feature-cached accumulation: modality-presence weights
+    are stacked across chunks so each chunk's loss is masked over the
+    full effective batch (train_retclip_3modalities.py:31-41).  Batch
+    tensors have leading dims [accum_freq, chunk, ...]."""
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, batch):
+        rng, new_rng = jax.random.split(state.rng)
+        rngs = jax.random.split(rng, accum_freq)
+        w1 = batch["weight1"].reshape(-1)
+        w2 = batch["weight2"].reshape(-1)
+
+        def encode(params, i, r):
+            return model.apply(params, batch["image"][i],
+                               batch["enface1"][i], batch["enface2"][i],
+                               deterministic=False, rngs={"dropout": r})
+
+        cached = jax.lax.map(
+            lambda i: encode(state.params, i, rngs[i])[:3],
+            jnp.arange(accum_freq))
+
+        def chunk_loss(params, i):
+            img_i, e1_i, e2_i, s0, s1, s2 = encode(params, i, rngs[i])
+            full = [jax.lax.dynamic_update_index_in_dim(c, f, i, 0)
+                    .reshape(-1, f.shape[-1])
+                    for c, f in zip(cached, (img_i, e1_i, e2_i))]
+            return three_modality_clip_loss(*full, s0, s1, s2, w1, w2)
+
+        def accum(i, acc):
+            grads, loss = acc
+            l, g = jax.value_and_grad(chunk_loss)(state.params, i)
+            return (jax.tree.map(jnp.add, grads, g), loss + l)
+
+        zero = jax.tree.map(jnp.zeros_like, state.params)
+        grads, loss = jax.lax.fori_loop(0, accum_freq, accum, (zero, 0.0))
+        # summed, not averaged — each chunk loss spans the full effective
+        # batch (see make_clip_accum_train_step)
+        state = state.apply_gradients(tx, grads).replace(rng=new_rng)
+        return state, {"loss": loss / accum_freq,
+                       "grad_norm": optax_global_norm(grads)}
+
+    return step
+
+
 # --------------------------------------------------------------- retrieval
 
 def retrieval_metrics(img_feat: np.ndarray, enf_feat: np.ndarray,

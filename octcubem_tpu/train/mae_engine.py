@@ -22,7 +22,7 @@ from .train_state import TrainState
 
 
 def make_mae_train_step(model, tx, joint: bool = False,
-                        use_premask: bool = False):
+                        use_premask: bool = False, accum_iter: int = 1):
     """Returns step(state, batch3d, mask_ratio, batch2d?, mask_ratio_2d?,
     pre_mask?) -> (state, metrics).
 
@@ -33,6 +33,12 @@ def make_mae_train_step(model, tx, joint: bool = False,
     (one jit, patch embeddings computed once, no extra host round-trip —
     the reference runs a separate forward_patch_embed pass per step,
     engine_pretrain.py:110-122).
+
+    accum_iter>1 (engine_pretrain.py:163-170 / engine_finetune.py:452-457):
+    batches carry leading dims [accum_iter, micro, ...]; a lax.scan
+    accumulates microbatch grads and applies ONE optimizer update with
+    grads/accum_iter (each micro-loss is a mean over its microbatch, so
+    the average reconstructs the effective-batch-mean gradient).
     """
 
     def loss_fn(params, rng, batch3d, mask_ratio, batch2d, mask_ratio_2d,
@@ -71,7 +77,39 @@ def make_mae_train_step(model, tx, joint: bool = False,
                    "frame_losses": fl, "grad_norm": gn}
         return state, metrics
 
-    return step
+    @functools.partial(jax.jit, static_argnames=("mask_ratio", "mask_ratio_2d"),
+                       donate_argnums=(0,))
+    def accum_step(state: TrainState, batch3d, mask_ratio: float = 0.9,
+                   batch2d=None, mask_ratio_2d: float = 0.75, pre_mask=None):
+        assert pre_mask is None, "pass use_premask=True with accum_iter>1"
+        rng, new_rng = jax.random.split(state.rng)
+        rngs = jax.random.split(rng, accum_iter)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+        def body(carry, xs):
+            grads_acc, tot, l3a, l2a = carry
+            r = xs[0]
+            b3 = xs[1]
+            b2 = xs[2] if joint else None
+            (total, (l3, l2, fl)), g = grad_fn(
+                state.params, r, b3, mask_ratio, b2, mask_ratio_2d, None)
+            return (jax.tree.map(jnp.add, grads_acc, g),
+                    tot + total, l3a + l3, l2a + l2), fl
+
+        zero = jax.tree.map(jnp.zeros_like, state.params)
+        xs = (rngs, batch3d) + ((batch2d,) if joint else ())
+        (grads, tot, l3, l2), fls = jax.lax.scan(
+            body, (zero, 0.0, 0.0, 0.0), xs)
+        grads = jax.tree.map(lambda g: g / accum_iter, grads)
+        state = state.apply_gradients(tx, grads).replace(rng=new_rng)
+        metrics = {"loss": tot / accum_iter, "loss_3d": l3 / accum_iter,
+                   "loss_2d": l2 / accum_iter,
+                   # [accum, micro, t] -> [accum*micro, t] (loader order)
+                   "frame_losses": fls.reshape(-1, fls.shape[-1]),
+                   "grad_norm": optax_global_norm(grads)}
+        return state, metrics
+
+    return step if accum_iter == 1 else accum_step
 
 
 def make_mae_eval_step(model):
@@ -94,6 +132,13 @@ def optax_global_norm(tree) -> jax.Array:
 def shard_batch(batch, mesh):
     """Place a host batch sharded over the data axis."""
     sh = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def shard_microbatch(batch, mesh):
+    """Place an [accum, micro, ...] batch with the MICRO axis sharded
+    over the data axis (accumulation chunks stay whole per device)."""
+    sh = NamedSharding(mesh, P(None, DATA_AXIS))
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 

@@ -74,6 +74,28 @@ def test_pretrain_cli_real_joint_data(tmp_path):
     assert os.path.exists(os.path.join(out, "macro_metrics_val.csv"))
 
 
+def test_retclip_cli_smoke_accum_heldout(tmp_path):
+    """octcube_ir preset semantics through the CLI: accum_freq=4
+    feature-cached accumulation (effective batch = batch*4,
+    train_IR_512-MAE3D-nodrop-vit-large.sh:21-50) and retrieval R@k
+    computed on the held-out val split, not the train set."""
+    import json
+
+    from octcubem_tpu.cli import retclip
+
+    out = str(tmp_path / "rc")
+    retclip.main(["--preset", "octcube_ir",
+                  "--model_config", "vitl16_octcube_ir_tiny_test",
+                  "--synthetic", "--synthetic_n", "48",
+                  "--batch_size", "8", "--epochs", "1",
+                  "--output_dir", out])
+    with open(os.path.join(out, "results.jsonl")) as f:
+        rows = [json.loads(l) for l in f]
+    assert rows and "image_to_enface_R@1" in rows[-1]
+    # val split: 48 * 0.2 = 9 held-out pairs scored
+    assert rows[-1]["image_to_enface_R@1"] >= 0.0
+
+
 def test_infer_cli_smoke(tmp_path):
     from octcubem_tpu.data.dicom import write_dicom
     from octcubem_tpu.cli import infer

@@ -162,6 +162,42 @@ def test_clip_accum_matches_full_batch_loss():
                                rtol=1e-3)  # f32 order-of-summation noise
 
 
+def test_clip_accum_matches_full_batch_3mod():
+    """3-mod feature-cached accumulation with stacked modality weights
+    (train_retclip_3modalities.py:31-41) must reconstruct the full-batch
+    loss AND gradient."""
+    from octcubem_tpu.train import optim
+    from octcubem_tpu.train.train_state import TrainState
+    from octcubem_tpu.train.mae_engine import optax_global_norm
+
+    m = coem.COEP3Tower(embed_dim=16, vision_cfg=V_CFG,
+                        enface_cfg=E_CFG, attn_impl="naive")
+    img, enf = _inputs(b=8)
+    faf = enf[:, ::-1]
+    w1 = jnp.ones(8)
+    w2 = jnp.asarray([1, 1, 0, 1, 0, 1, 1, 0], jnp.float32)
+    params = m.init(jax.random.key(0), img, enf, faf)
+    tx = optim.build_adamw(params, 0.0)
+    state = TrainState.create(params, tx, jax.random.key(1))
+
+    def loss_fn(p):
+        i, e1, e2, s0, s1, s2 = m.apply(p, img, enf, faf)
+        return clip_engine.three_modality_clip_loss(
+            i, e1, e2, s0, s1, s2, w1, w2)
+
+    full = loss_fn(params)
+    full_gnorm = float(optax_global_norm(jax.grad(loss_fn)(params)))
+
+    astep = clip_engine.make_clip_accum_train_step_3mod(m, tx, accum_freq=2)
+    batch = {"image": img.reshape(2, 4, 6, 32, 32, 1),
+             "enface1": enf.reshape(2, 4, 32, 32, 3),
+             "enface2": faf.reshape(2, 4, 32, 32, 3),
+             "weight1": w1.reshape(2, 4), "weight2": w2.reshape(2, 4)}
+    _, am = astep(state, batch)
+    np.testing.assert_allclose(float(am["loss"]), float(full), rtol=1e-4)
+    np.testing.assert_allclose(float(am["grad_norm"]), full_gnorm, rtol=1e-3)
+
+
 def test_classification_variants():
     m = coem.COEP2TowerClassification(
         embed_dim=16, num_classes=3, vision_cfg=V_CFG, enface_cfg=E_CFG,

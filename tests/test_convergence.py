@@ -36,6 +36,50 @@ def test_mae_loss_decreases():
     assert last < 0.7 * first, (first, last)
 
 
+def test_mae_accum_matches_manual_microbatch_grads():
+    """accum_iter microbatching (lax.scan) must equal the manual
+    average of per-microbatch grads at the same rng sequence
+    (engine_pretrain.py:163-170 semantics: one optimizer update on the
+    effective-batch-mean gradient)."""
+    from octcubem_tpu.train.mae_engine import optax_global_norm
+
+    m = mae3d.MaskedAutoencoderViT3D(
+        input_size=32, high_res_input_size=64, patch_size=16, in_chans=1,
+        embed_dim=64, depth=2, num_heads=2, decoder_embed_dim=32,
+        decoder_depth=1, decoder_num_heads=2, num_frames=6, t_patch_size=3,
+        pred_t_dim=6, attn_impl="naive")
+    x = jax.random.uniform(jax.random.key(0), (8, 6, 32, 32, 1))
+    params = m.init({"params": jax.random.key(1), "masking": jax.random.key(2)},
+                    x, mask_ratio=0.75)
+    tx = optim.build_adamw(params, 0.0)
+    state = TrainState.create(params, tx, jax.random.key(3))
+
+    # manual reference reproducing the engine's rng sequence
+    rng, _ = jax.random.split(state.rng)
+    rngs = jax.random.split(rng, 2)
+    xs = x.reshape(2, 4, 6, 32, 32, 1)
+
+    def chunk_loss(p, r, b):
+        r3, _ = jax.random.split(r)
+        loss, _, _, _ = m.apply(p, b, mask_ratio=0.75, deterministic=False,
+                                rngs={"masking": r3, "dropout": r3})
+        return loss
+
+    grads = [jax.grad(chunk_loss)(state.params, rngs[i], xs[i])
+             for i in range(2)]
+    mean_grads = jax.tree.map(lambda a, b: (a + b) / 2, *grads)
+    want_norm = float(optax_global_norm(mean_grads))
+    want_loss = float(sum(chunk_loss(state.params, rngs[i], xs[i])
+                          for i in range(2)) / 2)
+
+    astep = make_mae_train_step(m, tx, accum_iter=2)
+    _, metrics = astep(state, xs, mask_ratio=0.75)
+    np.testing.assert_allclose(float(metrics["loss"]), want_loss, rtol=1e-5)
+    np.testing.assert_allclose(float(metrics["grad_norm"]), want_norm,
+                               rtol=1e-4)
+    assert metrics["frame_losses"].shape == (8, 2)
+
+
 def test_classifier_fits_separable_data():
     m = vit_st.VisionTransformerST(
         num_frames=6, t_patch_size=3, img_size=32, patch_size=16, in_chans=1,
