@@ -223,5 +223,6 @@ flash_attn_vit_large_patch16 = vit_large_patch16
 
 
 def vit_huge_patch14(**kw) -> VisionTransformerST:
-    return VisionTransformerST(patch_size=16, embed_dim=1280, depth=32,
+    # patch 14 per the name (models_vit_st_flash_attn_nodrop.py:395-404)
+    return VisionTransformerST(patch_size=14, embed_dim=1280, depth=32,
                                num_heads=16, **kw)
