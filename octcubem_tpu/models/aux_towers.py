@@ -6,10 +6,13 @@ Parity targets (retinal-COEM/src/open_clip/):
   LayerNormFp32 semantics) and tokenizer.py — kept by the reference for
   OpenCLIP compatibility although the shipped configs feed images to the
   'text' tower (SURVEY §2.7: "tokenizer unused in practice").
-- focalnet.py / vision_transformer4k.py (HIPT) / perceiver.py /
-  modified_resnet.py: experimental encoders selectable via config but
-  unused by any shipped model config; constructors raise with a pointer
-  here so a config that names them fails loudly rather than silently.
+- modified_resnet.py:1-181 (CLIP ModifiedResNet: 3-conv stem,
+  anti-aliased strided bottlenecks, attention pooling) and
+  vision_transformer4k.py:161-259 (HIPT region ViT over feature maps):
+  implemented natively below and selectable via the COEM factory.
+- focalnet.py / perceiver.py: third-party experiments no reference
+  config selects; constructors raise with a pointer here so a config
+  naming them fails loudly rather than silently.
 """
 
 from __future__ import annotations
@@ -111,16 +114,209 @@ class TextTransformer(nn.Module):
         return pooled @ proj.astype(pooled.dtype)
 
 
+class _Bottleneck(nn.Module):
+    """CLIP anti-aliased bottleneck (modified_resnet.py:10-56): all convs
+    stride 1; an avgpool performs the stride-2 downsampling after conv2
+    (and prepends the 1x1 downsample projection).  Channel-last (NHWC,
+    the TPU-native conv layout)."""
+
+    planes: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        train = not deterministic
+        expansion = 4
+        inplanes = x.shape[-1]
+
+        def bn(name):
+            return nn.BatchNorm(use_running_average=not train,
+                                epsilon=1e-5, dtype=jnp.float32, name=name)
+
+        def conv(features, kernel, name):
+            return nn.Conv(features, (kernel, kernel), use_bias=False,
+                           dtype=self.dtype, name=name)
+
+        def pool(y):
+            return nn.avg_pool(y, (self.stride, self.stride),
+                               (self.stride, self.stride))
+
+        out = nn.relu(bn("bn1")(conv(self.planes, 1, "conv1")(x)))
+        out = nn.relu(bn("bn2")(conv(self.planes, 3, "conv2")(out)))
+        if self.stride > 1:
+            out = pool(out)
+        out = bn("bn3")(conv(self.planes * expansion, 1, "conv3")(out))
+
+        identity = x
+        if self.stride > 1 or inplanes != self.planes * expansion:
+            identity = x if self.stride == 1 else pool(x)
+            identity = bn("downsample_bn")(
+                conv(self.planes * expansion, 1, "downsample_conv")(identity))
+        return nn.relu(out + identity)
+
+
+class AttentionPool2d(nn.Module):
+    """CLIP attention pooling (modified_resnet.py:59-92): prepend the
+    spatial mean token, add learned pos embeds, one MHA step — computed
+    for the mean-token QUERY only (the reference runs full self-attention
+    and keeps row 0; the other rows are discarded, so this is exact and
+    cheaper)."""
+
+    embed_dim: int
+    num_heads: int
+    output_dim: int
+    spacial_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        tokens = x.reshape(b, h * w, c)
+        tokens = jnp.concatenate(
+            [tokens.mean(axis=1, keepdims=True), tokens], axis=1)
+        pos = self.param(
+            "positional_embedding",
+            lambda k, s: jax.random.normal(k, s) * self.embed_dim ** -0.5,
+            (self.spacial_dim ** 2 + 1, self.embed_dim))
+        tokens = tokens + pos[None, : tokens.shape[1]].astype(tokens.dtype)
+        q = nn.Dense(self.embed_dim, dtype=self.dtype,
+                     name="q_proj")(tokens[:, :1])
+        k = nn.Dense(self.embed_dim, dtype=self.dtype, name="k_proj")(tokens)
+        v = nn.Dense(self.embed_dim, dtype=self.dtype, name="v_proj")(tokens)
+        hd = self.embed_dim // self.num_heads
+        q = q.reshape(b, 1, self.num_heads, hd)
+        k = k.reshape(b, -1, self.num_heads, hd)
+        v = v.reshape(b, -1, self.num_heads, hd)
+        s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                       preferred_element_type=jnp.float32) * hd ** -0.5
+        p = jax.nn.softmax(s, axis=-1)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", p.astype(v.dtype), v)
+        ctx = ctx.reshape(b, 1, self.embed_dim)[:, 0]
+        return nn.Dense(self.output_dim, dtype=self.dtype, name="c_proj")(ctx)
+
+
+class ModifiedResNet(nn.Module):
+    """CLIP's ModifiedResNet (modified_resnet.py:95-181): 3-conv stem
+    with avgpool, anti-aliased strided bottlenecks, attention pooling.
+
+    deterministic=True (default) uses the running BatchNorm statistics;
+    deterministic=False computes batch statistics and requires
+    mutable=['batch_stats'] at apply time (the standard flax contract).
+    No shipped reference config selects this tower (model.py:410-418
+    builds it only when vision_cfg.layers is a list), so the COEM train
+    engines keep their stats-free apply; lock/LiT usage freezes BN anyway
+    (modified_resnet.py:156-161).
+    """
+
+    layers: tuple = (3, 4, 6, 3)
+    output_dim: int = 512
+    heads: int = 8
+    image_size: int = 224
+    width: int = 64
+    in_chans: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        train = not deterministic
+
+        def bn(name):
+            return nn.BatchNorm(use_running_average=not train,
+                                epsilon=1e-5, dtype=jnp.float32, name=name)
+
+        # 3-layer stem, stride 2 then avgpool 2 (:109-120)
+        x = nn.relu(bn("bn1")(nn.Conv(
+            self.width // 2, (3, 3), strides=2, use_bias=False,
+            dtype=self.dtype, name="conv1")(x)))
+        x = nn.relu(bn("bn2")(nn.Conv(
+            self.width // 2, (3, 3), use_bias=False, dtype=self.dtype,
+            name="conv2")(x)))
+        x = nn.relu(bn("bn3")(nn.Conv(
+            self.width, (3, 3), use_bias=False, dtype=self.dtype,
+            name="conv3")(x)))
+        x = nn.avg_pool(x, (2, 2), (2, 2))
+
+        for stage, n_blocks in enumerate(self.layers):
+            planes = self.width * 2 ** stage
+            for i in range(n_blocks):
+                stride = 2 if (stage > 0 and i == 0) else 1
+                x = _Bottleneck(planes, stride, dtype=self.dtype,
+                                name=f"layer{stage + 1}_{i}")(
+                                    x, deterministic)
+
+        return AttentionPool2d(
+            embed_dim=self.width * 32, num_heads=self.heads,
+            output_dim=self.output_dim, spacial_dim=self.image_size // 32,
+            dtype=self.dtype, name="attnpool")(x)
+
+
+class VisionTransformer4K(nn.Module):
+    """HIPT region-level ViT (vision_transformer4k.py:161-259): consumes
+    a [B, w, h, input_embed_dim] FEATURE map from a patch-level encoder,
+    projects through phi (Linear + GELU), prepends cls, adds learned pos
+    embeds (bicubic-resized when the grid differs), runs standard
+    pre-norm blocks, returns the cls feature."""
+
+    input_embed_dim: int = 384
+    output_embed_dim: int = 192
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    img_size: int = 224          # pos-embed grid = (img_size // 16)^2
+    num_classes: int = 0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        from ..nn.layers import TransformerStack
+        from ..ops.pos_embed import interpolate_spatial_pos_embed
+
+        b, w, h, _ = x.shape
+        x = x.reshape(b, w * h, self.input_embed_dim)
+        x = nn.Dense(self.output_embed_dim, dtype=self.dtype, name="phi")(x)
+        x = nn.gelu(x, approximate=False)
+
+        cls = self.param("cls_token", nn.initializers.normal(0.02),
+                         (1, 1, self.output_embed_dim))
+        x = jnp.concatenate([jnp.tile(cls.astype(x.dtype), (b, 1, 1)), x],
+                            axis=1)
+        grid = self.img_size // 16
+        pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                         (1, grid * grid + 1, self.output_embed_dim))
+        if w * h != grid * grid:
+            pos = interpolate_spatial_pos_embed(pos, (grid, grid), (w, h),
+                                                num_extra_tokens=1)
+        x = x + pos.astype(x.dtype)
+        x = TransformerStack(
+            depth=self.depth, dim=self.output_embed_dim,
+            num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
+            parity="standard", dtype=self.dtype, name="blocks")(
+                x, deterministic)
+        x = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32, name="norm")(x)
+        feat = x[:, 0]
+        if self.num_classes > 0:
+            return nn.Dense(self.num_classes, dtype=self.dtype,
+                            name="head")(feat)
+        return feat
+
+
 def _experimental(name: str, ref: str):
     def ctor(*a, **k):
         raise NotImplementedError(
             f"{name} is an experimental aux tower in the reference ({ref}) "
-            "that no shipped model config uses; select a ViT/enface tower "
-            "instead, or contribute a flax port here.")
+            "that no shipped model config uses (model.py:139-419 selects "
+            "it only for unshipped configs); select a ViT/enface/"
+            "ModifiedResNet/VisionTransformer4K tower instead, or "
+            "contribute a flax port here.")
     return ctor
 
 
+# FocalNet and Perceiver remain stubs by design: no shipped reference
+# config selects them (verified against model_configs/*.json), and their
+# upstream sources (focalnet.py 728 LoC, perceiver_module.py 816 LoC)
+# are third-party experiments, not OCTCube components.
 focalnet = _experimental("FocalNet", "open_clip/focalnet.py")
-hipt_vit4k = _experimental("HIPT ViT-4k", "open_clip/vision_transformer4k.py")
 perceiver = _experimental("Perceiver", "open_clip/perceiver.py")
-modified_resnet = _experimental("ModifiedResNet", "open_clip/modified_resnet.py")
+hipt_vit4k = VisionTransformer4K
+modified_resnet = ModifiedResNet

@@ -122,6 +122,26 @@ def _normalize(x):
     return x / jnp.linalg.norm(x.astype(jnp.float32), axis=-1, keepdims=True)
 
 
+def _build_vision_tower(cfg, out_dim, dtype, attn_impl, remat, capture_cam):
+    """Vision-tower dispatch mirroring _build_vision_tower
+    (model.py:139-419): a list-valued 'layers' selects ModifiedResNet
+    (the OpenCLIP convention, model.py:410-418), 'hipt': true selects the
+    HIPT region ViT (model.py:150), anything else the OCT ViT-ST tower."""
+    cfg = dict(cfg or {})
+    if isinstance(cfg.get("layers"), (list, tuple)):
+        from .aux_towers import ModifiedResNet
+
+        cfg["layers"] = tuple(cfg["layers"])
+        return ModifiedResNet(output_dim=out_dim, dtype=dtype, **cfg)
+    if cfg.pop("hipt", False):
+        from .aux_towers import VisionTransformer4K
+
+        # the cls head doubles as the CLIP projection
+        return VisionTransformer4K(num_classes=out_dim, dtype=dtype, **cfg)
+    return OCTTower(out_dim=out_dim, dtype=dtype, attn_impl=attn_impl,
+                    remat=remat, capture_cam=capture_cam, **cfg)
+
+
 class COEP2Tower(nn.Module):
     """2-tower contrastive model (OCTCube-IR).  forward -> (img_feat,
     enface_feat, logit_scale); features L2-normalized."""
@@ -135,10 +155,9 @@ class COEP2Tower(nn.Module):
     remat: bool = False
 
     def setup(self):
-        self.visual = OCTTower(out_dim=self.embed_dim, dtype=self.dtype,
-                               attn_impl=self.attn_impl, remat=self.remat,
-                               capture_cam=self.capture_cam,
-                               **(self.vision_cfg or {}))
+        self.visual = _build_vision_tower(
+            self.vision_cfg, self.embed_dim, self.dtype, self.attn_impl,
+            self.remat, self.capture_cam)
         self.enface = EnfaceTower(out_dim=self.embed_dim, dtype=self.dtype,
                                   attn_impl=self.attn_impl, remat=self.remat,
                                   capture_cam=self.capture_cam,
@@ -180,10 +199,9 @@ class COEP3Tower(nn.Module):
     remat: bool = False
 
     def setup(self):
-        self.visual = OCTTower(out_dim=self.embed_dim, dtype=self.dtype,
-                               attn_impl=self.attn_impl, remat=self.remat,
-                               capture_cam=self.capture_cam,
-                               **(self.vision_cfg or {}))
+        self.visual = _build_vision_tower(
+            self.vision_cfg, self.embed_dim, self.dtype, self.attn_impl,
+            self.remat, self.capture_cam)
         cfg = dict(self.enface_cfg or {})
         cfg.setdefault("num_mod_head", 2)
         self.enface = EnfaceTower(out_dim=self.embed_dim, dtype=self.dtype,

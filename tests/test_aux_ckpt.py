@@ -36,6 +36,79 @@ def test_experimental_towers_raise():
         aux_towers.focalnet()
 
 
+def test_modified_resnet_forward():
+    """CLIP ModifiedResNet (modified_resnet.py:95-181): stem + 4 stages +
+    attention pool; total downsample 32x; eval uses running BN stats,
+    train mode computes batch stats (mutable batch_stats)."""
+    from octcubem_tpu.models.aux_towers import ModifiedResNet
+
+    m = ModifiedResNet(layers=(1, 1, 1, 1), output_dim=16, heads=2,
+                       image_size=64, width=8)
+    x = jnp.asarray(np.random.default_rng(0).random((2, 64, 64, 3)),
+                    jnp.float32)
+    variables = m.init(jax.random.key(0), x)
+    out = m.apply(variables, x)
+    assert out.shape == (2, 16) and np.isfinite(np.asarray(out)).all()
+    out_t, updates = m.apply(variables, x, deterministic=False,
+                             mutable=["batch_stats"])
+    assert out_t.shape == (2, 16)
+    assert "batch_stats" in updates
+
+
+def test_hipt_vit4k_forward():
+    """HIPT region ViT (vision_transformer4k.py:161-259): consumes a
+    feature map, phi projection, cls pooling; pos embeds interpolate for
+    off-grid inputs."""
+    from octcubem_tpu.models.aux_towers import VisionTransformer4K
+
+    m = VisionTransformer4K(input_embed_dim=24, output_embed_dim=16,
+                            depth=2, num_heads=2, img_size=64)
+    feat = jnp.asarray(np.random.default_rng(1).random((2, 4, 4, 24)),
+                       jnp.float32)
+    params = m.init(jax.random.key(0), feat)
+    out = m.apply(params, feat)
+    assert out.shape == (2, 16)
+    # off-grid feature map exercises pos-embed interpolation
+    feat2 = jnp.asarray(np.random.default_rng(2).random((2, 6, 6, 24)),
+                        jnp.float32)
+    out2 = m.apply(params, feat2)
+    assert out2.shape == (2, 16) and np.isfinite(np.asarray(out2)).all()
+
+
+def test_coem_factory_selects_aux_towers():
+    """A COEM config whose vision_cfg.layers is a list builds a
+    ModifiedResNet visual tower; 'hipt': true builds the ViT-4k
+    (model.py:139-419 dispatch)."""
+    from octcubem_tpu.models import coem
+
+    m = coem.COEP2Tower(
+        embed_dim=16,
+        vision_cfg=dict(layers=[1, 1, 1, 1], heads=2, image_size=64,
+                        width=8),
+        enface_cfg=dict(img_size=32, patch_size=16, in_chans=3,
+                        embed_dim=32, depth=1, num_heads=2,
+                        parity="standard"),
+        attn_impl="naive")
+    img = jnp.ones((2, 64, 64, 3))
+    enf = jnp.ones((2, 32, 32, 3))
+    variables = m.init(jax.random.key(0), img, enf)
+    fi, fe, scale = m.apply(variables, img, enf)
+    assert fi.shape == (2, 16) and fe.shape == (2, 16)
+
+    m2 = coem.COEP2Tower(
+        embed_dim=16,
+        vision_cfg=dict(hipt=True, input_embed_dim=24, output_embed_dim=16,
+                        depth=1, num_heads=2, img_size=64),
+        enface_cfg=dict(img_size=32, patch_size=16, in_chans=3,
+                        embed_dim=32, depth=1, num_heads=2,
+                        parity="standard"),
+        attn_impl="naive")
+    feat = jnp.ones((2, 4, 4, 24))
+    variables2 = m2.init(jax.random.key(0), feat, enf)
+    fi2, fe2, _ = m2.apply(variables2, feat, enf)
+    assert fi2.shape == (2, 16) and fe2.shape == (2, 16)
+
+
 def test_checkpoint_save_restore_delete(tmp_path):
     state = {"w": jnp.arange(6.0).reshape(2, 3), "step": jnp.asarray(3)}
     d = str(tmp_path / "ck")
