@@ -57,6 +57,168 @@ class SimpleTokenizer:
         return out
 
 
+def _byte_unicode_table() -> tuple[dict[int, str], list[str]]:
+    """Reversible byte <-> printable-unicode mapping (the GPT-2/CLIP
+    convention): printable latin bytes map to themselves, the rest to
+    codepoints 256+.  Returns (byte->unit dict, units in VOCAB order) —
+    the vocab orders the kept printable bytes first, then the shifted
+    ones, and token ids depend on that order."""
+    keep = (list(range(ord("!"), ord("~") + 1))
+            + list(range(ord("\xa1"), ord("\xac") + 1))
+            + list(range(ord("\xae"), ord("\xff") + 1)))
+    table = {b: chr(b) for b in keep}
+    shift = 0
+    for b in range(256):
+        if b not in table:
+            table[b] = chr(256 + shift)
+            shift += 1
+    units = [table[b] for b in keep]
+    units += [table[b] for b in range(256) if b not in keep]
+    return table, units
+
+
+def find_bpe_vocab() -> str | None:
+    """Locate the OpenAI BPE merge table (bpe_simple_vocab_16e6.txt.gz)
+    at runtime — it is data shipped by the reference
+    (retinal-COEM/src/open_clip/bpe_simple_vocab_16e6.txt.gz), loaded
+    rather than re-vendored.  Search order: $OCTCUBEM_BPE_VOCAB, a copy
+    next to this package, an installed open_clip/clip package, a
+    colocated reference checkout."""
+    import os
+
+    name = "bpe_simple_vocab_16e6.txt.gz"
+    candidates = [os.environ.get("OCTCUBEM_BPE_VOCAB", "")]
+    candidates.append(os.path.join(os.path.dirname(__file__), name))
+    for pkg in ("open_clip", "clip"):
+        try:
+            import importlib.util
+
+            spec = importlib.util.find_spec(pkg)
+            if spec and spec.origin:
+                candidates.append(
+                    os.path.join(os.path.dirname(spec.origin), name))
+        except (ImportError, ValueError):
+            pass
+    candidates.append(
+        os.path.join("/root/reference/retinal-COEM/src/open_clip", name))
+    for c in candidates:
+        if c and os.path.isfile(c):
+            return c
+    return None
+
+
+class BPETokenizer:
+    """Native CLIP BPE tokenizer (algorithmic parity with the reference
+    tokenizer.py:75-151, clean-room implementation): byte-level unicode
+    mapping, greedy lowest-rank merge loop with an end-of-word marker,
+    CLIP's word-splitting regex, <start>/<end> specials, 77-token pad.
+
+    Produces the same ids as OpenAI CLIP given the same merge table, so
+    OpenAI-text checkpoints stay compatible."""
+
+    def __init__(self, vocab_path: str | None = None,
+                 context_length: int = 77):
+        import gzip
+
+        vocab_path = vocab_path or find_bpe_vocab()
+        if vocab_path is None:
+            raise FileNotFoundError(
+                "BPE vocab not found; set $OCTCUBEM_BPE_VOCAB or place "
+                "bpe_simple_vocab_16e6.txt.gz next to models/ "
+                "(get_tokenizer() falls back to the hash tokenizer)")
+        self.context_length = context_length
+        self.byte_to_u, units = _byte_unicode_table()
+        with gzip.open(vocab_path, "rt", encoding="utf-8") as f:
+            lines = f.read().split("\n")
+        # line 0 is a header; CLIP uses the first 48894 merges
+        merges = [tuple(line.split()) for line in lines[1: 49152 - 256 - 2 + 1]]
+        self.rank = {m: i for i, m in enumerate(merges)}
+
+        tokens = units + [u + "</w>" for u in units]
+        tokens += ["".join(m) for m in merges]
+        tokens += ["<start_of_text>", "<end_of_text>"]
+        self.encoder = {t: i for i, t in enumerate(tokens)}
+        self.decoder = {i: t for t, i in self.encoder.items()}
+        self.vocab_size = len(self.encoder)       # 49408
+        self.sot = self.encoder["<start_of_text>"]
+        self.eot = self.encoder["<end_of_text>"]
+        self._cache: dict[str, tuple[str, ...]] = {}
+
+        import regex
+
+        self.word_pat = regex.compile(
+            r"""'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""",
+            regex.IGNORECASE)
+
+    def _merge(self, word: str) -> tuple[str, ...]:
+        """Greedy BPE: repeatedly join the adjacent pair with the lowest
+        merge rank until no ranked pair remains."""
+        if word in self._cache:
+            return self._cache[word]
+        parts = list(word[:-1]) + [word[-1] + "</w>"]
+        while len(parts) > 1:
+            pairs = [(parts[i], parts[i + 1]) for i in range(len(parts) - 1)]
+            ranked = [(self.rank[p], i) for i, p in enumerate(pairs)
+                      if p in self.rank]
+            if not ranked:
+                break
+            _, at = min(ranked)
+            best = pairs[at]
+            # join every occurrence of the best pair in one sweep
+            out = []
+            i = 0
+            while i < len(parts):
+                if (i + 1 < len(parts)
+                        and (parts[i], parts[i + 1]) == best):
+                    out.append(parts[i] + parts[i + 1])
+                    i += 2
+                else:
+                    out.append(parts[i])
+                    i += 1
+            parts = out
+        result = tuple(parts)
+        self._cache[word] = result
+        return result
+
+    def encode(self, text: str) -> list[int]:
+        import html
+
+        text = html.unescape(html.unescape(text)).strip()
+        text = re.sub(r"\s+", " ", text).lower()
+        ids = []
+        for word in self.word_pat.findall(text):
+            mapped = "".join(self.byte_to_u[b] for b in word.encode("utf-8"))
+            ids.extend(self.encoder[t] for t in self._merge(mapped))
+        return ids
+
+    def decode(self, ids) -> str:
+        u_to_byte = {v: k for k, v in self.byte_to_u.items()}
+        text = "".join(self.decoder[int(i)] for i in ids
+                       if int(i) not in (self.sot, self.eot))
+        raw = bytes(u_to_byte[c] for c in text)
+        return (raw.decode("utf-8", errors="replace")
+                .replace("</w>", " ").strip())
+
+    def __call__(self, texts, context_length: int | None = None) -> np.ndarray:
+        if isinstance(texts, str):
+            texts = [texts]
+        n = context_length or self.context_length
+        out = np.zeros((len(texts), n), np.int32)
+        for i, t in enumerate(texts):
+            toks = [self.sot] + self.encode(t)[: n - 2] + [self.eot]
+            out[i, : len(toks)] = toks
+        return out
+
+
+def get_tokenizer(context_length: int = 77):
+    """Real BPE when the merge table is locatable, hash fallback
+    otherwise (self-consistent but not OpenAI-checkpoint compatible)."""
+    try:
+        return BPETokenizer(context_length=context_length)
+    except (FileNotFoundError, ImportError):
+        return SimpleTokenizer()
+
+
 class TextTransformer(nn.Module):
     """CLIP-style causal text transformer -> pooled projection."""
 

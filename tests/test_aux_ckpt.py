@@ -17,6 +17,35 @@ def test_tokenizer():
         ["macular degeneration", "diabetic retinopathy stage 2"]))
 
 
+def test_bpe_tokenizer_matches_clip():
+    """Real BPE against known OpenAI-CLIP tokenizations; skipped when the
+    merge table is not locatable at runtime (it is loaded, not vendored)."""
+    import pytest
+
+    from octcubem_tpu.models.aux_towers import BPETokenizer, find_bpe_vocab
+
+    if find_bpe_vocab() is None:
+        pytest.skip("bpe_simple_vocab_16e6.txt.gz not available")
+    tok = BPETokenizer()
+    assert tok.vocab_size == 49408
+    assert tok.sot == 49406 and tok.eot == 49407
+    out = tok(["a photo of a cat"])
+    np.testing.assert_array_equal(
+        out[0, :7], [49406, 320, 1125, 539, 320, 2368, 49407])
+    assert (out[0, 7:] == 0).all()
+    # byte-level fallback handles arbitrary text; decode round-trips
+    ids = tok.encode("diabetic macular edema, OS; 2 visits")
+    assert tok.decode(ids) == "diabetic macular edema , os ; 2 visits"
+
+
+def test_get_tokenizer_fallback(monkeypatch):
+    from octcubem_tpu.models import aux_towers
+
+    monkeypatch.setattr(aux_towers, "find_bpe_vocab", lambda: None)
+    tok = aux_towers.get_tokenizer()
+    assert isinstance(tok, aux_towers.SimpleTokenizer)
+
+
 def test_text_transformer():
     tok = SimpleTokenizer()
     tokens = jnp.asarray(tok(["oct volume of left eye", "fundus image"]))
