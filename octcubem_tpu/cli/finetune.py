@@ -70,7 +70,7 @@ def run_fold(cfg, model, datasets, log, fold_tag=""):
     from ..train.train_state import TrainState
     from ..train.finetune_engine import (
         make_finetune_train_step, make_predict_step, BestTracker, evaluate,
-        write_metric_csvs)
+        write_metric_csvs, write_confusion_matrices)
     from ..train.mae_engine import shard_batch
     from ..utils.logging import MetricLogger, JsonlLogger
 
@@ -151,6 +151,10 @@ def run_fold(cfg, model, datasets, log, fold_tag=""):
                 best_test = test_metrics
                 write_metric_csvs(val_metrics, cfg.output_dir, f"val{fold_tag}")
                 write_metric_csvs(test_metrics, cfg.output_dir, f"test{fold_tag}")
+                # confusion-matrix images per eval (pycm equivalent,
+                # engine_finetune.py:766-776)
+                write_confusion_matrices(yt, yp, cfg.task_mode,
+                                         cfg.output_dir, f"test{fold_tag}")
                 record["test_auc"] = test_metrics.get("roc", {}).get("macro")
             jsonl.write(record)
             log.info(f"epoch {epoch}: {record}")

@@ -143,6 +143,53 @@ def dump_frame_inference(out_dir: str, mode: str, names, y_true, y_pred,
     return path
 
 
+def write_confusion_matrices(y_true, y_pred, task_mode: str, out_dir: str,
+                             mode: str,
+                             class_names: list[str] | None = None) -> list:
+    """Per-eval confusion-matrix images (the reference writes pycm JPEGs
+    at engine_finetune.py:766-776,805-808): one C x C matrix for
+    multi-class; per-task/per-class 2x2 matrices for multi-task /
+    multi-label; none for regression.  Returns the written paths."""
+    from ..utils.visualization import save_confusion_matrix
+
+    y_true = np.asarray(y_true)
+    y_pred = np.asarray(y_pred)
+    paths = []
+    if task_mode == "regression":
+        return paths
+    if task_mode.startswith("multi_task"):
+        num_tasks = y_true.shape[1] - 1
+        logits = y_pred.reshape(y_pred.shape[0], num_tasks, 2)
+        for i in range(num_tasks):
+            t = np.stack([y_true[:, 0], y_true[:, i + 1]], axis=1)
+            valid = t.sum(axis=1) > 0
+            if valid.sum() == 0:
+                continue
+            name = class_names[i] if class_names else str(i)
+            p = os.path.join(out_dir, f"confusion_{mode}_task{i}_{name}.png")
+            save_confusion_matrix(t[valid, 1],
+                                  logits[valid, i].argmax(axis=1),
+                                  ["normal", name], p)
+            paths.append(p)
+        return paths
+    if task_mode == "multi_label":
+        pred = (y_pred > 0).astype(np.int64)  # logits: sigmoid > 0.5
+        for i in range(y_true.shape[1]):
+            name = class_names[i] if class_names else str(i)
+            p = os.path.join(out_dir, f"confusion_{mode}_class{i}_{name}.png")
+            save_confusion_matrix(y_true[:, i], pred[:, i],
+                                  ["neg", name], p)
+            paths.append(p)
+        return paths
+    n_cls = y_pred.shape[1]
+    names = class_names or [str(i) for i in range(n_cls)]
+    p = os.path.join(out_dir, f"confusion_{mode}.png")
+    save_confusion_matrix(y_true.astype(np.int64), y_pred.argmax(axis=1),
+                          names[:n_cls], p)
+    paths.append(p)
+    return paths
+
+
 def write_metric_csvs(metrics: dict, out_dir: str, mode: str,
                       class_names: list[str] | None = None) -> None:
     """macro_metrics_{mode}.csv + per-class CSVs, mirroring

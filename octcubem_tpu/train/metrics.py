@@ -88,17 +88,25 @@ def multi_task_metrics(y_true: np.ndarray, y_pred: np.ndarray,
     prob = e / e.sum(axis=2, keepdims=True)
 
     per_task = {m: [] for m in METRIC_NAMES}
+    included = []
     for i in range(num_tasks):
         t = np.stack([y_true[:, 0], y_true[:, i + 1]], axis=1)
         valid = t.sum(axis=1) > 0
-        if valid.sum() == 0 or len(np.unique(t[valid, 1])) < 1:
+        # tasks whose valid samples contain only one class are EXCLUDED
+        # from the macro average (the reference skips them explicitly,
+        # engine_finetune.py:86-242) — injecting 0.5/0.0 would silently
+        # skew the macro; classwise keeps nan for positional CSV alignment
+        if valid.sum() == 0 or len(np.unique(t[valid, 1])) < 2:
             for m in METRIC_NAMES:
-                per_task[m].append(0.0)
+                per_task[m].append(float("nan"))
             continue
+        included.append(i)
         tm = binary_task_metrics(t[valid, 1], prob[valid, i, 1], threshold)
         for m in METRIC_NAMES:
             per_task[m].append(tm.get(m, 0.0))
-    return {m: {"classwise": per_task[m], "macro": float(np.mean(per_task[m]))}
+    return {m: {"classwise": per_task[m],
+                "macro": (float(np.nanmean(per_task[m])) if included
+                          else 0.0)}
             for m in METRIC_NAMES}
 
 

@@ -1,3 +1,5 @@
+import os
+
 import numpy as np
 import torch
 import torch.nn.functional as F
@@ -121,6 +123,49 @@ def test_metrics_multi_task_runs():
     assert set(metrics.METRIC_NAMES) == set(m.keys())
     assert len(m["roc"]["classwise"]) == 3
     assert 0 <= m["roc"]["macro"] <= 1
+
+
+def test_multi_task_single_class_excluded_from_macro():
+    """A task whose valid samples are all one class must be EXCLUDED
+    from the macro (the reference skips it, engine_finetune.py:86-242) —
+    not silently scored 0.5/0.0."""
+    from octcubem_tpu.train import metrics as metrics_lib
+
+    rng = np.random.default_rng(0)
+    n = 40
+    # col 0 = normal flag; task 1 mixed; task 2 never positive -> its
+    # valid samples (the normals) are all class 0: single-class task
+    y_true = np.zeros((n, 3), np.int64)
+    y_true[: n // 2, 0] = 1
+    y_true[n // 2:, 1] = 1
+    logits = rng.standard_normal((n, 4))
+    out = metrics_lib.multi_task_metrics(y_true, logits)
+    assert np.isnan(out["roc"]["classwise"][1])
+    # macro equals task-0's value alone (nanmean over [v, nan])
+    np.testing.assert_allclose(out["roc"]["macro"], out["roc"]["classwise"][0])
+
+
+def test_write_confusion_matrices(tmp_path):
+    from octcubem_tpu.train.finetune_engine import write_confusion_matrices
+
+    rng = np.random.default_rng(1)
+    # multi-class
+    yt = rng.integers(0, 3, 30)
+    yp = rng.standard_normal((30, 3))
+    paths = write_confusion_matrices(yt, yp, "multi_cls", str(tmp_path), "t")
+    assert len(paths) == 1 and all(os.path.exists(p) for p in paths)
+    # multi-task: one image per valid task
+    y_true = np.zeros((30, 3), np.int64)
+    y_true[:15, 0] = 1
+    y_true[15:, 1] = 1
+    y_true[20:, 2] = 1
+    logits = rng.standard_normal((30, 4))
+    paths = write_confusion_matrices(y_true, logits, "multi_task_default",
+                                     str(tmp_path), "t2", ["AMD", "DME"])
+    assert len(paths) == 2 and all(os.path.exists(p) for p in paths)
+    # regression: none
+    assert write_confusion_matrices(yt, yp[:, 0], "regression",
+                                    str(tmp_path), "t3") == []
 
 
 def test_metrics_regression():
