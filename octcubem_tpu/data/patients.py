@@ -66,6 +66,83 @@ def load_metadata_pickle(path: str) -> dict:
         return pickle.load(f)
 
 
+def inhouse_frame_paths(patient_id: str, visit_hash: str, prefix: str = "",
+                        midfix: str = "/macOCT/", num_frames: int = 61,
+                        mode: str = "oct_img") -> list[str]:
+    """Frame-path convention of the in-house trees
+    (get_file_list_given_patient_and_visit_hash,
+    PatientDataset_inhouse.py:27-36): {prefix}{patient}{midfix}{visit}/
+    oct-%03d.png for volumes, ir.png for the paired en face image."""
+    d = prefix + patient_id + midfix + visit_hash
+    if mode == "ir_img":
+        return [d + "/ir.png"]
+    return [d + f"/oct-{i:03d}.png" for i in range(num_frames)]
+
+
+def load_inhouse_metadata(metadata_dir: str, task_mode: str = "multi_label",
+                          disease: str = "AMD",
+                          patient_id_list_dir: str = "multi_cls_expr_10x_0315/",
+                          patient_dict_fname: str =
+                          "patient_dict_w_metadata_first_visit_from_ir.pkl",
+                          frame_prefix: str = "", midfix: str = "/macOCT/",
+                          num_frames: int = 61,
+                          ) -> tuple[list[Visit], list[str]]:
+    """Schema-aware in-house metadata ingestion
+    (PatientDataset_inhouse.py:160-290), replacing the bare pickle.load:
+
+    - ``patient_dict_w_metadata*.pkl``: {patient_id: [visit_hash, ...]}
+    - binary_cls: ``{disease}_w_disease.txt`` / ``_wo_disease.txt``
+      patient-id lists under patient_id_list_dir (:181-193)
+    - multi_label / multi_task*: ``multilabel_cls_dict.json`` with
+      {"disease_list": [...], "patient_dict": {pid: [0/1 per disease]}},
+      sorted by patient id (:199-207)
+
+    Returns (visits, disease_list): one Visit per (patient, visit-hash)
+    in patient order — the reference's visit-index expansion
+    (mapping_patient2visit, :216-236) — with labels attached so
+    build_labels() and kfold_patient_split() consume them directly.
+    """
+    import json
+
+    pd_path = os.path.join(metadata_dir, patient_dict_fname)
+    patient_dict = load_metadata_pickle(pd_path)
+    list_dir = os.path.join(metadata_dir, patient_id_list_dir)
+
+    def make_visits(pid: str, labels: dict) -> list[Visit]:
+        out = []
+        for vh in patient_dict.get(pid, []):
+            frames = inhouse_frame_paths(pid, vh, frame_prefix, midfix,
+                                         num_frames)
+            out.append(Visit(pid, vh, frames, dict(labels)))
+        return out
+
+    visits: list[Visit] = []
+    if task_mode == "binary_cls":
+        def read_ids(fname):
+            with open(os.path.join(list_dir, fname)) as f:
+                return [line.strip() for line in f if line.strip()]
+
+        for pid in read_ids(f"{disease}_w_disease.txt"):
+            visits += make_visits(pid, {disease: 1})
+        for pid in read_ids(f"{disease}_wo_disease.txt"):
+            visits += make_visits(pid, {disease: 0})
+        return visits, ["NC", disease]
+
+    if task_mode == "multi_cls":
+        raise NotImplementedError(
+            "multi_cls id lists are unimplemented in the reference too "
+            "(PatientDataset_inhouse.py:194,296)")
+
+    with open(os.path.join(list_dir, "multilabel_cls_dict.json")) as f:
+        ml = json.load(f)
+    disease_list = ml["disease_list"]
+    for pid in sorted(ml["patient_dict"]):
+        vec = ml["patient_dict"][pid]
+        labels = {d: int(v) for d, v in zip(disease_list, vec)}
+        visits += make_visits(pid, labels)
+    return visits, disease_list
+
+
 def build_labels(visits: list[Visit], task_mode: str, disease: str = "AMD",
                  disease_list: tuple[str, ...] = ("AMD", "DME", "POG", "MH")):
     """Task-mode label construction (PatientDataset_inhouse.py:125-154).

@@ -64,6 +64,9 @@ def test_pretrain_cli_real_joint_data(tmp_path):
     visited = [k for k, v in hard.items() if v["visited"] > 0]
     assert visited and all(str(data) in k for k in visited)
     assert all(hard[k]["hardness"] > 0 for k in visited)
+
+
+def test_finetune_cli_smoke(tmp_path):
     from octcubem_tpu.cli import finetune
 
     out = str(tmp_path / "ft")

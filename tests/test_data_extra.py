@@ -7,6 +7,48 @@ from octcubem_tpu.data import ingest, patients
 from octcubem_tpu.utils.visualization import save_confusion_matrix
 
 
+def test_load_inhouse_metadata(tmp_path):
+    """Schema-aware metadata ingestion (PatientDataset_inhouse.py:160-290):
+    patient->visit-hash pkl + binary txt id lists + multilabel json."""
+    import json
+    import pickle
+
+    from octcubem_tpu.data.patients import (load_inhouse_metadata,
+                                            build_labels)
+
+    md = tmp_path / "meta"
+    lists = md / "multi_cls_expr_10x_0315"
+    lists.mkdir(parents=True)
+    patient_dict = {"p1": ["hashA", "hashB"], "p2": ["hashC"],
+                    "p3": ["hashD"]}
+    with open(md / "patient_dict_w_metadata_first_visit_from_ir.pkl",
+              "wb") as f:
+        pickle.dump(patient_dict, f)
+    (lists / "AMD_w_disease.txt").write_text("p1\np2\n")
+    (lists / "AMD_wo_disease.txt").write_text("p3\n")
+    with open(lists / "multilabel_cls_dict.json", "w") as f:
+        json.dump({"disease_list": ["AMD", "DME"],
+                   "patient_dict": {"p2": [0, 1], "p1": [1, 0],
+                                    "p3": [0, 0]}}, f)
+
+    visits, classes = load_inhouse_metadata(str(md), "binary_cls", "AMD",
+                                            num_frames=3)
+    assert classes == ["NC", "AMD"]
+    # visit-index expansion: p1 has two visits, in patient order
+    assert [(v.patient_id, v.visit_id) for v in visits] == [
+        ("p1", "hashA"), ("p1", "hashB"), ("p2", "hashC"), ("p3", "hashD")]
+    assert visits[0].labels == {"AMD": 1} and visits[3].labels == {"AMD": 0}
+    assert visits[0].frames == [f"p1/macOCT/hashA/oct-{i:03d}.png"
+                                for i in range(3)]
+
+    visits, dl = load_inhouse_metadata(str(md), "multi_label")
+    assert dl == ["AMD", "DME"]
+    assert visits[0].patient_id == "p1"  # json dict sorted by patient id
+    _, label_fn = build_labels(visits, "multi_label", disease_list=dl)
+    np.testing.assert_array_equal(label_fn(visits[0]), [0, 1, 0])
+    np.testing.assert_array_equal(label_fn(visits[-1]), [1, 0, 0])
+
+
 def test_mhd_reader_local_and_compressed(tmp_path):
     rng = np.random.default_rng(0)
     vol = (rng.random((4, 6, 8)) * 255).astype(np.uint8)  # z, y, x
