@@ -28,7 +28,9 @@ def _rand(rng, *shape):
     return torch.tensor(rng.standard_normal(shape).astype(np.float32) * 0.05)
 
 
-def make_reference_state_dict(seed=0, head_type="dropout"):
+def make_reference_state_dict(seed=0, head_type="dropout", dims=None):
+    D, HEADS, DEPTH = dims or (globals()["D"], globals()["HEADS"],
+                               globals()["DEPTH"])
     rng = np.random.default_rng(seed)
     sd = {
         "cls_token": _rand(rng, 1, 1, D),
@@ -64,8 +66,10 @@ def make_reference_state_dict(seed=0, head_type="dropout"):
     return sd
 
 
-def torch_reference_forward(sd, x, head_type="dropout"):
+def torch_reference_forward(sd, x, head_type="dropout", dims=None):
     """x: [B, C, T, H, W]; reference flash-attn semantics, eval mode."""
+    D, HEADS, DEPTH = dims or (globals()["D"], globals()["HEADS"],
+                               globals()["DEPTH"])
     feat = F.conv3d(x, sd["patch_embed.proj.weight"],
                     sd["patch_embed.proj.bias"], stride=(TP, P, P))
     b, d, t, h, w = feat.shape
@@ -138,6 +142,69 @@ def test_vit_st_output_parity(head_type):
     assert not report["missing"], report
     ours = np.asarray(model.apply(params, x_jax))
     np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_vit_st_output_parity_vitl_scale():
+    """Parity at real ViT-L width/depth (1024 x 24, 16 heads) — the tiny
+    oracle can hide drift that only shows at production dims; spatial
+    dims stay small so the fp32 CPU run remains tractable
+    (VERDICT round-1 item 10)."""
+    dims = (1024, 16, 24)
+    sd = make_reference_state_dict(head_type="aggregate", dims=dims)
+    model = vit_st.VisionTransformerST(
+        num_frames=FRAMES, t_patch_size=TP, img_size=IMG, patch_size=P,
+        in_chans=1, num_classes=NCLS, embed_dim=1024, depth=24,
+        num_heads=16, head_type="aggregate", global_pool=True,
+        sep_pos_embed=True, cls_embed=True, attn_impl="naive",
+        parity="flash",
+    )
+    x_np = np.random.default_rng(7).standard_normal(
+        (2, 1, FRAMES, IMG, IMG)).astype(np.float32)
+    ref = torch_reference_forward(sd, torch.tensor(x_np), "aggregate",
+                                  dims=dims).detach().numpy()
+    x_jax = jnp.asarray(x_np.transpose(0, 2, 3, 4, 1))
+    template = model.init(jax.random.key(0), x_jax)
+    params, report = import_state_dict(
+        template, {k: v.numpy() for k, v in sd.items()})
+    assert not report["missing"], report
+    ours = np.asarray(model.apply(params, x_jax))
+    np.testing.assert_allclose(ours, ref, atol=2e-5, rtol=2e-5)
+
+
+def test_parity_check_cli_roundtrip(tmp_path):
+    """The parity harness (cli/parity_check.py) passes on an
+    oracle-generated .pth + expected-logits npz pair — the exact flow it
+    will run against released checkpoints when artifacts appear."""
+    from octcubem_tpu.cli import parity_check
+
+    sd = make_reference_state_dict(head_type="dropout")
+    x_np = np.random.default_rng(3).standard_normal(
+        (2, 1, FRAMES, IMG, IMG)).astype(np.float32)
+    expected = torch_reference_forward(sd, torch.tensor(x_np),
+                                       "dropout").detach().numpy()
+    pth = str(tmp_path / "ckpt.pth")
+    torch.save({"model": sd}, pth)
+    npz = str(tmp_path / "expected.npz")
+    np.savez(npz, inputs=x_np, expected_logits=expected)
+
+    rc = parity_check.main([
+        pth, npz, "--model_family", "vit_st_dropout",
+        "--num_frames", str(FRAMES), "--input_size", str(IMG),
+        "--t_patch_size", str(TP), "--num_classes", str(NCLS),
+        "--embed_dim", str(D), "--depth", str(DEPTH),
+        "--num_heads", str(HEADS), "--atol", "1e-4"])
+    assert rc == 0
+
+    # corrupted expectations must FAIL (the harness actually compares)
+    np.savez(npz, inputs=x_np, expected_logits=expected + 1.0)
+    rc = parity_check.main([
+        pth, npz, "--model_family", "vit_st_dropout",
+        "--num_frames", str(FRAMES), "--input_size", str(IMG),
+        "--t_patch_size", str(TP), "--num_classes", str(NCLS),
+        "--embed_dim", str(D), "--depth", str(DEPTH),
+        "--num_heads", str(HEADS), "--atol", "1e-4"])
+    assert rc == 1
 
 
 def test_import_interpolates_pos_embeds():
