@@ -57,11 +57,77 @@ def _load_enface(path: str, size: int) -> np.ndarray:
     return np.ascontiguousarray(np.moveaxis(img, 0, -1))
 
 
+# the reference's 13 explicit modes (multimodal_dataset.py:661-675); the
+# dataset below keys behavior on the NAME, and the int aliases keep the
+# reference's --multimodal_type numbering working
+MODE_MAPPING = {
+    0: "pair_ir_only",
+    1: "faf_only",
+    2: "standalone_ir_only",
+    3: "all_ir_only",
+    4: "all_enface_images",
+    5: "standalone_ir_only_with_faf",
+    6: "oct3d_only",
+    7: "oct3d_ir",
+    8: "oct3d_faf_only",
+    9: "oct3d_paired_faf_cls",
+    10: "oct3d_paired_ir_cls",
+    11: "oct3d_faf_ir",
+    12: "oct3d_paired_faf_ir_cls",
+}
+_ENFACE_ONLY_MODES = {"pair_ir_only", "faf_only", "standalone_ir_only",
+                      "all_ir_only", "all_enface_images",
+                      "standalone_ir_only_with_faf"}
+
+
+def convert_hw_shape(oct_volume: np.ndarray, rng=None,
+                     verbose_level: int = 0) -> np.ndarray:
+    """Aspect-aware OCT shape normalization
+    (multimodal_dataset.py:381-442): device-specific frame counts
+    (19/25/49/61/97/121/193) and widths (512/768/1024/1536) are folded to
+    a common 60/61 x H x 768 geometry by paired-frame averaging, edge
+    drops and symmetric zero padding, BEFORE the trilinear resize.
+
+    rng: randomness source for the coin-flip edge drop (the reference
+    uses np.random directly; pass a Generator for determinism)."""
+    rng = rng or np.random.default_rng()
+    h, _, w = oct_volume.shape
+    if w in (1536, 1024):
+        oct_volume = (oct_volume[:, :, ::2] + oct_volume[:, :, 1::2]) / 2
+    if h in (61, 49, 25, 121, 97):
+        if rng.random() > 0.5:
+            oct_volume = oct_volume[:-1]
+        else:
+            oct_volume = oct_volume[1:]
+    if h == 193:
+        oct_volume = oct_volume[:-1]
+        oct_volume = (oct_volume[::2] + oct_volume[1::2]) / 2
+    if h in (121, 97, 193):
+        oct_volume = (oct_volume[::2] + oct_volume[1::2]) / 2
+    if h == 25:
+        oct_volume = np.pad(oct_volume, ((3, 3), (0, 0), (0, 0)))
+    if h == 19:
+        oct_volume = np.pad(oct_volume, ((6, 5), (0, 0), (0, 0)))
+    if h in (49, 97, 48):
+        oct_volume = np.pad(oct_volume, ((6, 6), (0, 0), (0, 0)))
+    if oct_volume.dtype == np.uint8:
+        oct_volume = oct_volume.astype(np.float32)
+    if w in (512, 1024):
+        oct_volume = np.pad(oct_volume, ((0, 0), (0, 0), (128, 128)))
+    return oct_volume
+
+
 @dataclasses.dataclass
 class PairedOCTEnfaceDataset:
     """Yields {'image', 'enface1', 'enface2', 'weight1', 'weight2',
     '__key__'} samples; missing modalities are zero-filled with weight 0
-    (the 3-mod loss masks them, clip_engine.three_modality_clip_loss)."""
+    (the 3-mod loss masks them, clip_engine.three_modality_clip_loss).
+
+    `mode` selects the reference's mode semantics (MODE_MAPPING, int or
+    name): enface-only modes serve IR/FAF images without volumes and
+    filter records to ones carrying that modality; oct3d_* modes require
+    (and serve) the volume; *_faf* modes require FAF; *_cls modes
+    additionally expect labels_fn."""
 
     records: list[PairedRecord]
     num_frames: int = 60
@@ -70,16 +136,36 @@ class PairedOCTEnfaceDataset:
     oct_transform: Callable | None = None
     require_ir: bool = True
     labels_fn: Callable | None = None
+    mode: int | str = "oct3d_ir"
+    aspect_aware: bool = False   # convert_hw_shape before the resize
 
     def __post_init__(self):
-        if self.require_ir:
+        self.mode = MODE_MAPPING.get(self.mode, self.mode)
+        if self.mode not in MODE_MAPPING.values():
+            raise ValueError(f"unknown multimodal mode {self.mode!r}")
+        # oct3d_faf_ir (mode 11, the 3-mod trainer) keeps records with a
+        # missing FAF — per-sample presence weights mask the loss
+        needs_ir = self.mode in (
+            "pair_ir_only", "standalone_ir_only", "all_ir_only",
+            "standalone_ir_only_with_faf", "oct3d_ir",
+            "oct3d_paired_ir_cls", "oct3d_paired_faf_ir_cls") or (
+                self.require_ir and self.mode.startswith("oct3d"))
+        needs_faf = self.mode in (
+            "faf_only", "oct3d_faf_only", "oct3d_paired_faf_cls",
+            "oct3d_paired_faf_ir_cls")
+        if needs_ir:
             self.records = [r for r in self.records if r.ir_path is not None]
+        if needs_faf:
+            self.records = [r for r in self.records
+                            if r.faf_path is not None]
+        if self.mode == "all_enface_images":
+            self.records = [r for r in self.records
+                            if r.ir_path or r.faf_path]
 
     def __len__(self):
         return len(self.records)
 
-    def __getitem__(self, i):
-        r = self.records[i]
+    def _load_volume(self, r: PairedRecord, i: int) -> np.ndarray:
         v = r.visit
         if v.frames[0].endswith(".npy"):
             vol = ingest.load_npy_volume(v.frames[0])
@@ -87,6 +173,8 @@ class PairedOCTEnfaceDataset:
             vol, _, _ = ingest.load_dicom_volume(v.frames[0])
         else:
             vol = ingest.load_frame_stack(v.frames)
+        if self.aspect_aware:
+            vol = convert_hw_shape(vol, rng=np.random.default_rng((17, i)))
         vol = ingest.pad_or_crop_frames(vol, self.num_frames)
         if self.oct_transform is not None:
             vol = self.oct_transform(vol, rng=np.random.default_rng(i))
@@ -94,10 +182,15 @@ class PairedOCTEnfaceDataset:
             from .np_resize import resize_trilinear_np
             vol = resize_trilinear_np(
                 vol, (self.num_frames, self.oct_size, self.oct_size))
-        sample = {
-            "image": vol[..., None].astype(np.float32),
-            "__key__": f"{v.patient_id}/{v.visit_id}",
-        }
+        return vol
+
+    def __getitem__(self, i):
+        r = self.records[i]
+        v = r.visit
+        sample = {"__key__": f"{v.patient_id}/{v.visit_id}"}
+        if self.mode not in _ENFACE_ONLY_MODES:
+            vol = self._load_volume(r, i)
+            sample["image"] = vol[..., None].astype(np.float32)
         es = self.enface_size
         if r.ir_path is not None:
             sample["enface1"] = _load_enface(r.ir_path, es)
@@ -113,6 +206,104 @@ class PairedOCTEnfaceDataset:
             sample["weight2"] = np.float32(0.0)
         if self.labels_fn is not None:
             sample["label"] = self.labels_fn(v)
+        return sample
+
+
+class OCTFAFIRClsDataset:
+    """GA-growth / disease classification over paired OCT+FAF(+IR)
+    volumes from a manifest table (OCTFAFIRClsDataset,
+    multimodal_dataset.py:1303-1496): rows carry file-path columns
+    (oct_file_path / faf_file_path / ir_file_path), label columns and an
+    optional split column for cross-validation.
+
+    - mode 9/10/12 semantics via PairedOCTEnfaceDataset.mode
+    - labels standardized with the train-set mean/std (or preset values,
+      so val/test reuse the train statistics, :1338-1350)
+    - update_dataset_indexing('cv_train'|'cv_test', val_split) restricts
+      the served rows to the CV side (:1394-1420)
+    """
+
+    def __init__(self, manifest_csv: str, parent_dir: str = "",
+                 mode: int | str = 9, label_keys: list[str] | None = None,
+                 num_frames: int = 60, oct_size: int = 256,
+                 enface_size: int = 384, split_key: str = "split1",
+                 preset_label_mean=None, preset_label_std=None,
+                 standardize: bool = True, aspect_aware: bool = False):
+        import csv
+
+        mode = MODE_MAPPING.get(mode, mode)
+        assert mode in ("oct3d_paired_faf_cls", "oct3d_paired_ir_cls",
+                        "oct3d_paired_faf_ir_cls"), mode
+        with open(manifest_csv) as f:
+            self.rows = list(csv.DictReader(f))
+        assert label_keys, "label_keys required for the cls dataset"
+        self.label_keys = list(label_keys)
+        self.mode = mode
+        self.num_frames, self.oct_size = num_frames, oct_size
+        self.enface_size = enface_size
+        self.aspect_aware = aspect_aware
+
+        def path(row, key):
+            p = row.get(key, "") or ""
+            return os.path.join(parent_dir, p) if p else None
+
+        self.records = []
+        for i, row in enumerate(self.rows):
+            v = Visit(row.get("patient_id", str(i)),
+                      row.get("visit_id", "0"),
+                      [path(row, "oct_file_path")])
+            self.records.append(PairedRecord(
+                v, path(row, "ir_file_path"), path(row, "faf_file_path")))
+
+        labels = np.asarray(
+            [[float(r[k]) for k in self.label_keys] for r in self.rows],
+            np.float32)
+        self.label_mean = (np.asarray(preset_label_mean, np.float32)
+                           if preset_label_mean is not None
+                           else labels.mean(axis=0))
+        self.label_std = (np.asarray(preset_label_std, np.float32)
+                          if preset_label_std is not None
+                          else labels.std(axis=0))
+        self.labels = ((labels - self.label_mean)
+                       / np.maximum(self.label_std, 1e-6)
+                       if standardize else labels)
+
+        self.split_list = [int(float(r.get(split_key, 0) or 0))
+                           for r in self.rows]
+        self.available_split = sorted(set(self.split_list))
+        self.indexing = "all"
+        self._index = list(range(len(self.rows)))
+
+        # require_ir=False: the mode itself declares which paths it needs
+        # (mode 9 pairs OCT with FAF only; 10/12 require IR explicitly)
+        self._inner = PairedOCTEnfaceDataset(
+            list(self.records), num_frames=num_frames, oct_size=oct_size,
+            enface_size=enface_size, mode=mode, aspect_aware=aspect_aware,
+            require_ir=False)
+        assert len(self._inner) == len(self.records), \
+            "cls manifest rows must carry the paths their mode requires"
+
+    def update_dataset_indexing(self, indexing: str = "all",
+                                val_split: int = 0) -> None:
+        self.indexing = indexing
+        if indexing == "all":
+            self._index = list(range(len(self.rows)))
+        elif indexing == "cv_train":
+            self._index = [i for i, s in enumerate(self.split_list)
+                           if s != val_split]
+        elif indexing == "cv_test":
+            self._index = [i for i, s in enumerate(self.split_list)
+                           if s == val_split]
+        else:
+            raise ValueError(indexing)
+
+    def __len__(self):
+        return len(self._index)
+
+    def __getitem__(self, i):
+        j = self._index[i]
+        sample = self._inner[j]
+        sample["label"] = self.labels[j]
         return sample
 
 

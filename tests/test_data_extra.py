@@ -138,6 +138,95 @@ def test_paired_multimodal_dataset(tmp_path):
     assert batch["image"].shape[0] == 2 and len(keys) == 2
 
 
+def test_multimodal_modes_and_convert_hw_shape(tmp_path):
+    """Mode semantics (MODE_MAPPING, multimodal_dataset.py:661-675) and
+    aspect-aware shape normalization (convert_hw_shape, :381-442)."""
+    from PIL import Image
+    from octcubem_tpu.data.multimodal import (
+        PairedOCTEnfaceDataset, scan_paired_directory, convert_hw_shape)
+
+    rng = np.random.default_rng(0)
+    for p in range(3):
+        d = tmp_path / f"p{p}" / "v0"
+        os.makedirs(d)
+        for f in range(4):
+            Image.fromarray((rng.random((32, 32)) * 255).astype(
+                np.uint8)).save(d / f"oct_{f:03d}.png")
+        Image.fromarray((rng.random((24, 24, 3)) * 255).astype(
+            np.uint8)).save(d / "ir.png")
+        if p == 0:
+            Image.fromarray((rng.random((24, 24, 3)) * 255).astype(
+                np.uint8)).save(d / "faf.png")
+    recs = scan_paired_directory(str(tmp_path))
+
+    # enface-only mode: no volume loaded/served
+    ds = PairedOCTEnfaceDataset(recs, mode="pair_ir_only", enface_size=16)
+    s = ds[0]
+    assert "image" not in s and s["enface1"].shape == (16, 16, 3)
+    # faf-requiring mode filters to the one FAF-carrying record
+    ds = PairedOCTEnfaceDataset(recs, mode=8, num_frames=4, oct_size=16,
+                                enface_size=16)
+    assert len(ds) == 1 and float(ds[0]["weight2"]) == 1.0
+    # mode 11 (3-mod) keeps FAF-less records (presence weights mask them)
+    ds = PairedOCTEnfaceDataset(recs, mode=11, num_frames=4, oct_size=16,
+                                enface_size=16)
+    assert len(ds) == 3
+    # int alias == name
+    assert PairedOCTEnfaceDataset(recs, mode=6, num_frames=4, oct_size=16,
+                                  enface_size=16).mode == "oct3d_only"
+
+    # convert_hw_shape: device geometries fold to 60/61 x H x 768
+    rng2 = np.random.default_rng(1)
+    for shape in [(49, 8, 512), (121, 8, 768), (49, 8, 1024), (25, 8, 512),
+                  (61, 8, 768), (121, 8, 1536), (97, 8, 512)]:
+        out = convert_hw_shape(np.ones(shape, np.float32), rng=rng2)
+        assert out.shape[2] == 768, (shape, out.shape)
+        assert out.shape[0] in (30, 31, 60, 61), (shape, out.shape)
+
+
+def test_oct_faf_ir_cls_dataset(tmp_path):
+    """Manifest-driven GA-growth cls dataset: label standardization with
+    preset stats and CV split indexing (multimodal_dataset.py:1303-1496)."""
+    from PIL import Image
+    from octcubem_tpu.data.multimodal import OCTFAFIRClsDataset
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(6):
+        vol = (rng.random((3, 16, 16)) * 255).astype(np.uint8)
+        np.save(tmp_path / f"oct{i}.npy", vol)
+        Image.fromarray((rng.random((16, 16, 3)) * 255).astype(
+            np.uint8)).save(tmp_path / f"faf{i}.png")
+        rows.append((f"oct{i}.npy", f"faf{i}.png", 1.0 + i, i % 3))
+    manifest = tmp_path / "m.csv"
+    manifest.write_text(
+        "patient_id,oct_file_path,faf_file_path,ga_growth,split1\n"
+        + "\n".join(f"p{i},{o},{f},{g},{s}"
+                    for i, (o, f, g, s) in enumerate(rows)))
+
+    ds = OCTFAFIRClsDataset(str(manifest), parent_dir=str(tmp_path),
+                            mode=9, label_keys=["ga_growth"],
+                            num_frames=4, oct_size=16, enface_size=16)
+    assert len(ds) == 6
+    s = ds[0]
+    assert s["image"].shape == (4, 16, 16, 1)
+    assert s["label"].shape == (1,)
+    labels = np.array([ds[i]["label"][0] for i in range(6)])
+    np.testing.assert_allclose(labels.mean(), 0.0, atol=1e-5)
+
+    ds.update_dataset_indexing("cv_test", val_split=0)
+    assert len(ds) == 2
+    ds.update_dataset_indexing("cv_train", val_split=0)
+    assert len(ds) == 4
+
+    # preset stats (val/test reuse train statistics)
+    ds2 = OCTFAFIRClsDataset(str(manifest), parent_dir=str(tmp_path),
+                             mode=9, label_keys=["ga_growth"],
+                             num_frames=4, oct_size=16, enface_size=16,
+                             preset_label_mean=[0.0], preset_label_std=[1.0])
+    np.testing.assert_allclose(ds2[5]["label"][0], 6.0)
+
+
 def test_bscan_coverage_geometry():
     from octcubem_tpu.data.geometry import (
         bscan_coverage_mask, oct_token_region, horizontal_line_patches)
