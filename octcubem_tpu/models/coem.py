@@ -124,10 +124,27 @@ def _normalize(x):
 
 def _build_vision_tower(cfg, out_dim, dtype, attn_impl, remat, capture_cam):
     """Vision-tower dispatch mirroring _build_vision_tower
-    (model.py:139-419): a list-valued 'layers' selects ModifiedResNet
-    (the OpenCLIP convention, model.py:410-418), 'hipt': true selects the
-    HIPT region ViT (model.py:150), anything else the OCT ViT-ST tower."""
+    (model.py:139-419): 'tower' names the branch ('vit2d' = ViT_2Dhead
+    :353-409, 'vit_3dhead' = ViT_3Dhead :296-352); a list-valued 'layers'
+    selects ModifiedResNet (the OpenCLIP convention, :410-418); 'hipt':
+    true the HIPT region ViT (:150); default is the OCT ViT-ST tower
+    (ViT_ST_nodrop, :243-295)."""
     cfg = dict(cfg or {})
+    tower = cfg.pop("tower", None)
+    if tower == "vit2d":
+        from .vit2d import VisionTransformer2D
+
+        # the num_classes head doubles as the CLIP projection (model.py
+        # ViT_2Dhead branch heads the 2D trunk to embed_dim)
+        return VisionTransformer2D(num_classes=out_dim, dtype=dtype,
+                                   attn_impl=attn_impl, remat=remat,
+                                   **cfg)
+    if tower == "vit_3dhead":
+        from .vit_3dhead import VisionTransformer3DHead
+
+        return VisionTransformer3DHead(num_classes=out_dim, dtype=dtype,
+                                       attn_impl=attn_impl, remat=remat,
+                                       **cfg)
     if isinstance(cfg.get("layers"), (list, tuple)):
         from .aux_towers import ModifiedResNet
 

@@ -1,0 +1,126 @@
+"""Step-time ablation of the headline bench: what does the full ViT-L MAE
+train step cost with pieces removed?
+
+ABLATE=none      full step (bench.py equivalent)
+ABLATE=attn      attention replaced by identity (out = v): measures
+                 'everything else' (linears, patchify, masking, loss,
+                 optimizer)
+ABLATE=fwdonly   forward + loss only, no grads/optimizer
+ABLATE=noopt     fwd+bwd but no optimizer update (grads computed, params
+                 returned unchanged)
+
+Usage: ABLATE=attn python scripts/bench_ablate.py
+"""
+
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+ABLATE = os.environ.get("ABLATE", "none")
+BATCH, FRAMES, IMG, TPATCH = 4, 60, 256, 3
+MASK_RATIO = 0.9
+STEPS = 8
+
+if ABLATE == "attn":
+    from octcubem_tpu.ops import attention
+
+    def _identity_attention(q, k, v, scale=None, impl="auto"):
+        return v
+
+    attention.multi_head_attention = _identity_attention
+    # layers binds the name at import time; patch its reference too
+    import octcubem_tpu.nn.layers as _layers
+    _layers.multi_head_attention = _identity_attention
+
+from octcubem_tpu.models import mae3d
+from octcubem_tpu.train import optim, schedules
+from octcubem_tpu.train.train_state import TrainState
+from octcubem_tpu.train.mae_engine import make_mae_train_step
+
+
+def main():
+    model = mae3d.flash_attn_mae_vit_large_patch16(
+        num_frames=FRAMES, t_patch_size=TPATCH, pred_t_dim=FRAMES,
+        input_size=IMG, high_res_input_size=512, in_chans=1,
+        dtype=jnp.bfloat16, attn_impl="auto")
+    x = jax.random.normal(jax.random.key(0), (BATCH, FRAMES, IMG, IMG, 1),
+                          jnp.float32)
+    params = jax.jit(lambda k, x: model.init(
+        {"params": k, "masking": k}, x, mask_ratio=MASK_RATIO))(
+            jax.random.key(1), x)
+    sched = schedules.warmup_half_cosine(1.6e-3, 0.0, 1, 50, 1000)
+    tx = optim.build_adamw(params, sched, weight_decay=0.05)
+    state = TrainState.create(params, tx, jax.random.key(2))
+
+    if ABLATE == "fwdonly":
+        @functools.partial(jax.jit, donate_argnums=())
+        def run(state, x):
+            def body(i, acc):
+                loss, _, _, _ = model.apply(
+                    state.params, x, mask_ratio=MASK_RATIO,
+                    deterministic=False,
+                    rngs={"masking": jax.random.fold_in(state.rng, i),
+                          "dropout": jax.random.fold_in(state.rng, i)})
+                return acc + loss
+            return jax.lax.fori_loop(0, STEPS, body, 0.0)
+
+        _ = float(run(state, x))
+        t0 = time.time()
+        out = float(run(state, x))
+        dt = (time.time() - t0) / STEPS * 1000
+        print(f"ABLATE={ABLATE}: {dt:.1f} ms/step (loss {out:.3f})")
+        return
+
+    if ABLATE == "noopt":
+        def loss_fn(p, r):
+            loss, _, _, _ = model.apply(
+                p, x, mask_ratio=MASK_RATIO, deterministic=False,
+                rngs={"masking": r, "dropout": r})
+            return loss
+
+        @jax.jit
+        def run(state, x):
+            def body(i, acc):
+                r = jax.random.fold_in(state.rng, i)
+                loss, grads = jax.value_and_grad(loss_fn)(state.params, r)
+                gn = sum(jnp.sum(jnp.square(g.astype(jnp.float32)))
+                         for g in jax.tree.leaves(grads))
+                return acc + loss + 0 * gn
+            return jax.lax.fori_loop(0, STEPS, body, 0.0)
+
+        _ = float(run(state, x))
+        t0 = time.time()
+        out = float(run(state, x))
+        dt = (time.time() - t0) / STEPS * 1000
+        print(f"ABLATE={ABLATE}: {dt:.1f} ms/step (acc {out:.3f})")
+        return
+
+    step = make_mae_train_step(model, tx, joint=False)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run_steps(state, x):
+        def body(i, st):
+            st, _ = step(st, x, mask_ratio=MASK_RATIO)
+            return st
+        return jax.lax.fori_loop(0, STEPS, body, state)
+
+    state = run_steps(state, x)
+    _ = float(jax.tree.leaves(state.params)[0].sum())
+    t0 = time.time()
+    state = run_steps(state, x)
+    _ = float(jax.tree.leaves(state.params)[0].sum())
+    dt = (time.time() - t0) / STEPS * 1000
+    print(f"ABLATE={ABLATE}: {dt:.1f} ms/step")
+
+
+if __name__ == "__main__":
+    main()

@@ -198,6 +198,47 @@ def test_clip_accum_matches_full_batch_3mod():
     np.testing.assert_allclose(float(am["grad_norm"]), full_gnorm, rtol=1e-3)
 
 
+def test_all_coem_configs_construct():
+    """Every shipped JSON config (all 7 reference model_configs variants
+    + the tiny test config) parses and constructs through the factory."""
+    from octcubem_tpu.models import registry
+
+    names = registry.list_coem_configs()
+    assert len(names) >= 8
+    for name in names:
+        m = registry.create_coem_model(name)
+        assert isinstance(m, (coem.COEP2Tower, coem.COEP3Tower))
+
+
+def test_vision_tower_dispatch_vit2d_and_3dhead():
+    """vision_cfg 'tower' selects the ViT_2Dhead / ViT_3Dhead branches
+    (model.py:296-409): 2D RGB inputs, head doubles as CLIP projection."""
+    enf = dict(img_size=32, patch_size=16, in_chans=3, embed_dim=32,
+               depth=1, num_heads=2, parity="standard")
+    m2 = coem.COEP2Tower(
+        embed_dim=16, attn_impl="naive",
+        vision_cfg=dict(tower="vit2d", img_size=32, patch_size=16,
+                        in_chans=3, embed_dim=32, depth=1, num_heads=2,
+                        parity="standard"),
+        enface_cfg=enf)
+    img2d = jnp.ones((2, 32, 32, 3))
+    enf_img = jnp.ones((2, 32, 32, 3))
+    p = m2.init(jax.random.key(0), img2d, enf_img)
+    fi, fe, _ = m2.apply(p, img2d, enf_img)
+    assert fi.shape == (2, 16) and fe.shape == (2, 16)
+
+    m3 = coem.COEP2Tower(
+        embed_dim=16, attn_impl="naive",
+        vision_cfg=dict(tower="vit_3dhead", img_size=32, patch_size=16,
+                        in_chans=3, embed_dim=32, depth=1, num_heads=2,
+                        parity="standard"),
+        enface_cfg=enf)
+    vol = jnp.ones((2, 4, 32, 32, 3))  # [B, N_slices, H, W, C]
+    p3 = m3.init(jax.random.key(0), vol, enf_img)
+    fi3, fe3, _ = m3.apply(p3, vol, enf_img)
+    assert fi3.shape == (2, 16) and fe3.shape == (2, 16)
+
+
 def test_classification_variants():
     m = coem.COEP2TowerClassification(
         embed_dim=16, num_classes=3, vision_cfg=V_CFG, enface_cfg=E_CFG,
