@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..ops.attention import multi_head_attention
+from ..ops.attention import multi_head_attention, multi_head_attention_packed
 
 LN_EPS = 1e-6  # partial(nn.LayerNorm, eps=1e-6) everywhere in the reference
 
@@ -70,14 +70,15 @@ class MHA(nn.Module):
     @nn.compact
     def __call__(self, x):
         b, n, _ = x.shape
-        h = self.num_heads
-        dh = self.dim // h
+        # packed-head path: q/k/v stay [B, N, H*D] end to end — no
+        # [B,H,N,D] transposes, whose 32-wide minor dim the TPU layout
+        # pads 4x (ops/flash_attention.py packed-layout notes)
         qkv = nn.Dense(3 * self.dim, use_bias=self.qkv_bias, dtype=self.dtype,
                        name="Wqkv")(x)
-        qkv = qkv.reshape(b, n, 3, h, dh)
-        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
-        out = multi_head_attention(q, k, v, impl=self.attn_impl)
-        out = out.transpose(0, 2, 1, 3).reshape(b, n, self.dim)
+        q, k, v = (qkv[:, :, i * self.dim:(i + 1) * self.dim]
+                   for i in range(3))
+        out = multi_head_attention_packed(q, k, v, self.num_heads,
+                                          impl=self.attn_impl)
         return nn.Dense(self.dim, dtype=self.dtype, name="out_proj")(out)
 
 

@@ -39,3 +39,27 @@ def multi_head_attention(q, k, v, scale=None, impl: str = "auto"):
         from .flash_attention import flash_attention
         return flash_attention(q, k, v, scale=scale)
     return naive_attention(q, k, v, scale=scale)
+
+
+def multi_head_attention_packed(q, k, v, num_heads: int, scale=None,
+                                impl: str = "auto"):
+    """Packed-head dispatch: q/k/v [B, N, H*D] -> [B, N, H*D].
+
+    The flash path consumes the packed layout directly (no [B,H,N,D]
+    transposes, full-width minor dims around the kernel — see
+    flash_attention_packed); the naive path unpacks for the reference
+    einsum math."""
+    b, n, hd = q.shape
+    d = hd // num_heads
+    if impl == "auto":
+        platform = jax.local_devices()[0].platform
+        impl = "flash" if platform in ("tpu", "axon") else "naive"
+    if impl == "flash":
+        from .flash_attention import flash_attention_packed
+        return flash_attention_packed(q, k, v, num_heads, scale=scale)
+
+    def bhnd(x):
+        return x.reshape(b, n, num_heads, d).transpose(0, 2, 1, 3)
+
+    out = naive_attention(bhnd(q), bhnd(k), bhnd(v), scale=scale)
+    return out.transpose(0, 2, 1, 3).reshape(b, n, hd)

@@ -127,7 +127,7 @@ def _fwd_kernel_nomax(q_ref, k_ref, v_ref, o_ref, lse_ref,
 
 def _fwd_kernel_nomax_cls(q_ref, k_ref, v_ref, kc_ref, vc_ref,
                           o_ref, lse_ref, acc_ref, l_ref,
-                          *, scale, n_valid, block_k, n_pad):
+                          *, scale, n_valid, block_k, n_pad, k_axis=2):
     """nomax forward with one extra (cls) key/value folded in at the
     finalize step — everything stays in VMEM, so a cls-prefixed sequence
     (n = m*128 + 1) runs its n-1 tokens on an exactly-tiled grid with no
@@ -398,13 +398,13 @@ def _fused_bwd_kernel_cls(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                           kc_ref, vc_ref,
                           dq_ref, dk_ref, dv_ref, dkc_ref, dvc_ref,
                           dq_acc, dk_acc, dv_acc, dkc_acc, dvc_acc,
-                          *, scale, block_q):
+                          *, scale, block_q, j_axis=1, i_axis=2):
     """Fused backward with the cls key/value contributions accumulated
     in-kernel (once per q-tile, at the first k-block)."""
-    jb = pl.program_id(1)
-    ib = pl.program_id(2)
-    nj = pl.num_programs(1)
-    ni = pl.num_programs(2)
+    jb = pl.program_id(j_axis)
+    ib = pl.program_id(i_axis)
+    nj = pl.num_programs(j_axis)
+    ni = pl.num_programs(i_axis)
 
     @pl.when((jb == 0) & (ib == 0))
     def _init_dq():
@@ -662,6 +662,324 @@ def _split_cls_attention(q, k, v, scale):
 
     out = jnp.concatenate([out_cls, out_tok], axis=1)
     return out.reshape(b, h, n, d)
+
+
+# ------------------------------------------------------- packed-head layout
+#
+# [B, N, H*D] interface: heads stay folded into the minor dimension, so
+# every XLA-side tensor around the kernel keeps a 512-wide minor dim.
+# The [B, H, N, D] layout puts D=32 minor, which the TPU (8,128)/(16,128)
+# tiling pads 4x — making the qkv transposes, slices, concats and
+# gradient pads around the kernel cost ~2.3ms per ViT-L decoder layer.
+# The kernels are unchanged; BlockSpecs index the head's 32-column strip
+# of the packed arrays and the grid gains a head dimension.
+
+def _fwd_kernel_packed(q_ref, k_ref, v_ref, kc_ref, vc_ref, o_ref, lse_ref,
+                       acc_ref, l_ref, *, scale, n_valid, n_pad, d, G):
+    """Packed nomax+cls forward: refs carry G heads side by side in a
+    128-lane strip ([block, G*d]); the loop body runs per sub-head on a
+    static lane slice.  Pallas requires 128-divisible minor blocks, so a
+    lone d=32 head strip cannot be a block on its own."""
+    kb = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(kb == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    for g in range(G):
+        sl = slice(g * d, (g + 1) * d)
+        q = q_ref[0][:, sl]
+        s = jax.lax.dot_general(
+            q, k_ref[0][:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        p = jnp.exp(jnp.minimum(s, NOMAX_CLAMP) - NOMAX_SHIFT)
+        l_ref[:, g:g + 1] = l_ref[:, g:g + 1] + jnp.sum(p, axis=-1,
+                                                        keepdims=True)
+        acc_ref[:, sl] = acc_ref[:, sl] + jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0][:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(kb == nk - 1)
+    def _finalize():
+        pad_l = math.exp(-NOMAX_SHIFT) * (n_pad - n_valid)
+        for g in range(G):
+            sl = slice(g * d, (g + 1) * d)
+            s_cls = jnp.sum(
+                q_ref[0][:, sl].astype(jnp.float32)
+                * kc_ref[0][:, sl].astype(jnp.float32),
+                axis=1, keepdims=True) * scale
+            p_cls = jnp.exp(jnp.minimum(s_cls, NOMAX_CLAMP) - NOMAX_SHIFT)
+            l = l_ref[:, g:g + 1] + p_cls - pad_l
+            l_safe = jnp.where(l <= 0.0, 1.0, l)
+            acc = (acc_ref[:, sl]
+                   + p_cls * vc_ref[0][:, sl].astype(jnp.float32))
+            o_ref[0, :, sl] = (acc / l_safe).astype(o_ref.dtype)
+            lse_ref[0, g] = NOMAX_SHIFT + jnp.log(l_safe)
+
+
+def _fwd_packed(q, k, v, kc, vc, scale, block, d, extra_pad):
+    b, n, hd = q.shape
+    h = hd // d
+    G = max(1, 128 // d) if d < 128 else 1
+    hg = h // G
+    n_pad = _round_up(n, block)
+    pad = n_pad - n
+    if pad:
+        zp = ((0, 0), (0, pad), (0, 0))
+        q, k, v = jnp.pad(q, zp), jnp.pad(k, zp), jnp.pad(v, zp)
+    nt = n_pad // block
+    gd = G * d
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel_packed, scale=scale,
+                          n_valid=n - extra_pad, n_pad=n_pad, d=d, G=G),
+        grid=(b, hg, nt, nt),
+        in_specs=[
+            pl.BlockSpec((1, block, gd), lambda b, h, i, j: (b, i, h)),
+            pl.BlockSpec((1, block, gd), lambda b, h, i, j: (b, j, h)),
+            pl.BlockSpec((1, block, gd), lambda b, h, i, j: (b, j, h)),
+            pl.BlockSpec((1, 1, gd), lambda b, h, i, j: (b, 0, h)),
+            pl.BlockSpec((1, 1, gd), lambda b, h, i, j: (b, 0, h)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block, gd), lambda b, h, i, j: (b, i, h)),
+            pl.BlockSpec((1, G, block, 1), lambda b, h, i, j: (b, h, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n_pad, hd), q.dtype),
+            jax.ShapeDtypeStruct((b, h, n_pad, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block, gd), jnp.float32),
+            pltpu.VMEM((block, G), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=_use_interpret(),
+    )(q, k, v, kc, vc)
+    return out[:, :n], lse[:, :, :n, 0]
+
+
+def _bwd_kernel_packed(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                       kc_ref, vc_ref,
+                       dq_ref, dk_ref, dv_ref, dkc_ref, dvc_ref,
+                       dq_acc, dk_acc, dv_acc, dkc_acc, dvc_acc,
+                       *, scale, block_q, d, G):
+    """Packed fused backward: G heads per 128-lane strip, sub-head loop;
+    same math as _fused_bwd_kernel_cls."""
+    jb = pl.program_id(2)
+    ib = pl.program_id(3)
+    nj = pl.num_programs(2)
+    ni = pl.num_programs(3)
+
+    @pl.when((jb == 0) & (ib == 0))
+    def _init_dq():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+        dkc_acc[:] = jnp.zeros_like(dkc_acc)
+        dvc_acc[:] = jnp.zeros_like(dvc_acc)
+
+    @pl.when(ib == 0)
+    def _init_dkv():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    for g in range(G):
+        sl = slice(g * d, (g + 1) * d)
+        q = q_ref[0][:, sl]
+        k = k_ref[0][:, sl]
+        v = v_ref[0][:, sl]
+        do = do_ref[0][:, sl]
+        lse = lse_ref[0, g]      # [bq, 1]
+        delta = delta_ref[0, g]  # [bq, 1]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        clamped = s > NOMAX_CLAMP
+        p = jnp.exp(jnp.minimum(s, NOMAX_CLAMP) - lse)
+
+        dv_acc[:, sl] = dv_acc[:, sl] + jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        ds = jnp.where(clamped, 0.0, ds).astype(q.dtype)
+        dk_acc[:, sl] = dk_acc[:, sl] + jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        dq_tile = jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+
+        @pl.when(jb == 0)
+        def _cls_contrib():
+            qf32 = q.astype(jnp.float32)
+            dof32 = do.astype(jnp.float32)
+            kcf = kc_ref[0][:, sl].astype(jnp.float32)
+            vcf = vc_ref[0][:, sl].astype(jnp.float32)
+            s_cls = jnp.sum(qf32 * kcf, axis=1, keepdims=True) * scale
+            clamped_c = s_cls > NOMAX_CLAMP
+            p_cls = jnp.exp(jnp.minimum(s_cls, NOMAX_CLAMP) - lse)
+            dp_cls = jnp.sum(dof32 * vcf, axis=1, keepdims=True)
+            ds_cls = p_cls * (dp_cls - delta)
+            ds_cls = jnp.where(clamped_c, 0.0, ds_cls)
+            dvc_acc[:, sl] = dvc_acc[:, sl] + jnp.sum(
+                p_cls * dof32, axis=0, keepdims=True)
+            dkc_acc[:, sl] = dkc_acc[:, sl] + jnp.sum(
+                ds_cls * qf32, axis=0, keepdims=True) * scale
+            dq_acc[pl.ds(ib * block_q, block_q), sl] = (
+                dq_acc[pl.ds(ib * block_q, block_q), sl]
+                + ds_cls * kcf * scale)
+
+        dq_acc[pl.ds(ib * block_q, block_q), sl] = (
+            dq_acc[pl.ds(ib * block_q, block_q), sl] + dq_tile)
+
+    @pl.when(ib == ni - 1)
+    def _write_dkv():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+    @pl.when((jb == nj - 1) & (ib == ni - 1))
+    def _write_dq():
+        dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
+        dkc_ref[0] = dkc_acc[:].astype(dkc_ref.dtype)
+        dvc_ref[0] = dvc_acc[:].astype(dvc_ref.dtype)
+
+
+def _bwd_packed(scale, block, d, extra_pad, res, g):
+    q, k, v, kc, vc, out, lse = res
+    g, g_lse = g
+    b, n, hd = q.shape
+    h = hd // d
+    G = max(1, 128 // d) if d < 128 else 1
+    hg = h // G
+    gd = G * d
+    # per-head delta: rowsum over each head's strip -> [b, h, n]
+    delta = (jnp.einsum(
+        "bnhd,bnhd->bhn", g.reshape(b, n, h, d).astype(jnp.float32),
+        out.reshape(b, n, h, d).astype(jnp.float32))
+        - g_lse.astype(jnp.float32))
+    bwd_block = _pick_block(n, BWD_BLOCK_TARGET)
+    n_pad = _round_up(n, bwd_block)
+    pad = n_pad - n
+    if pad:
+        zp = ((0, 0), (0, pad), (0, 0))
+        q, k, v, g = (jnp.pad(a, zp) for a in (q, k, v, g))
+        lse = jnp.pad(lse, ((0, 0), (0, 0), (0, pad)))
+        delta = jnp.pad(delta, ((0, 0), (0, 0), (0, pad)))
+    nt = n_pad // bwd_block
+
+    dq, dk, dv, dkc, dvc = pl.pallas_call(
+        functools.partial(_bwd_kernel_packed, scale=scale,
+                          block_q=bwd_block, d=d, G=G),
+        grid=(b, hg, nt, nt),
+        in_specs=[
+            pl.BlockSpec((1, bwd_block, gd), lambda b, h, j, i: (b, i, h)),
+            pl.BlockSpec((1, bwd_block, gd), lambda b, h, j, i: (b, j, h)),
+            pl.BlockSpec((1, bwd_block, gd), lambda b, h, j, i: (b, j, h)),
+            pl.BlockSpec((1, bwd_block, gd), lambda b, h, j, i: (b, i, h)),
+            pl.BlockSpec((1, G, bwd_block, 1),
+                         lambda b, h, j, i: (b, h, i, 0)),
+            pl.BlockSpec((1, G, bwd_block, 1),
+                         lambda b, h, j, i: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, gd), lambda b, h, j, i: (b, 0, h)),
+            pl.BlockSpec((1, 1, gd), lambda b, h, j, i: (b, 0, h)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n_pad, gd), lambda b, h, j, i: (b, 0, h)),
+            pl.BlockSpec((1, bwd_block, gd), lambda b, h, j, i: (b, j, h)),
+            pl.BlockSpec((1, bwd_block, gd), lambda b, h, j, i: (b, j, h)),
+            pl.BlockSpec((1, 1, gd), lambda b, h, j, i: (b, 0, h)),
+            pl.BlockSpec((1, 1, gd), lambda b, h, j, i: (b, 0, h)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n_pad, hd), q.dtype),
+            jax.ShapeDtypeStruct((b, n_pad, hd), k.dtype),
+            jax.ShapeDtypeStruct((b, n_pad, hd), v.dtype),
+            jax.ShapeDtypeStruct((b, 1, hd), k.dtype),
+            jax.ShapeDtypeStruct((b, 1, hd), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n_pad, gd), jnp.float32),
+            pltpu.VMEM((bwd_block, gd), jnp.float32),
+            pltpu.VMEM((bwd_block, gd), jnp.float32),
+            pltpu.VMEM((1, gd), jnp.float32),
+            pltpu.VMEM((1, gd), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=_use_interpret(),
+    )(q, k, v, g, lse[..., None], delta[..., None], kc, vc)
+    return dq[:, :n], dk[:, :n], dv[:, :n], dkc, dvc
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _flash_packed(q, k, v, kc, vc, scale, block, d, extra_pad):
+    return _fwd_packed(q, k, v, kc, vc, scale, block, d, extra_pad)
+
+
+def _flash_packed_fwd(q, k, v, kc, vc, scale, block, d, extra_pad):
+    out, lse = _fwd_packed(q, k, v, kc, vc, scale, block, d, extra_pad)
+    return (out, lse), (q, k, v, kc, vc, out, lse)
+
+
+_flash_packed.defvjp(_flash_packed_fwd, _bwd_packed)
+
+
+def flash_attention_packed(q, k, v, num_heads: int,
+                           scale: float | None = None, no_max: bool = True):
+    """q, k, v: [B, N, H*D] (packed heads, the natural qkv-projection
+    layout) -> [B, N, H*D].  Differentiable.
+
+    Skips the [B, H, N, D] transposes entirely and keeps every tensor
+    around the kernel at a full-width minor dim.  cls-prefixed sequences
+    (n % 128 == 1) fold the first token in-kernel; other lengths run a
+    phantom-cls with zero key/value whose exactly-known mass is removed
+    by the pad correction, so one kernel serves both."""
+    b, n, hd = q.shape
+    d = hd // num_heads
+    if scale is None:
+        scale = d ** -0.5
+    G = max(1, 128 // d) if d < 128 else 1
+    # packed kernels need 128-divisible lane strips: G = 128/d heads per
+    # kernel instance.  Shapes that can't form full strips (tiny test
+    # dims, odd head_dim) fall back to the [B,H,N,D] path, as does the
+    # exact online-softmax variant.
+    ok = (num_heads % G == 0) and (128 % d == 0 or d % 128 == 0)
+    if not no_max or not ok:
+        def bhnd(x):
+            return x.reshape(b, n, num_heads, d).transpose(0, 2, 1, 3)
+
+        out = flash_attention(bhnd(q), bhnd(k), bhnd(v), scale=scale,
+                              no_max=no_max)
+        return out.transpose(0, 2, 1, 3).reshape(b, n, hd)
+
+    if n % 128 == 1 and n > 128:
+        block = _pick_block(n - 1, FWD_BLOCK_TARGET)
+        out_tok, _ = _flash_packed(q[:, 1:], k[:, 1:], v[:, 1:],
+                                   k[:, :1], v[:, :1], float(scale),
+                                   block, d, 0)
+        # cls query row, per head, on the packed layout (plain XLA)
+        qc = q[:, :1].reshape(b, 1, num_heads, d)
+        kr = k.reshape(b, n, num_heads, d)
+        vr = v.reshape(b, n, num_heads, d)
+        s_row = jnp.einsum("bohd,bnhd->bhon", qc, kr,
+                           preferred_element_type=jnp.float32) * scale
+        p_row = jax.nn.softmax(s_row, axis=-1)
+        out_cls = jnp.einsum("bhon,bnhd->bohd", p_row.astype(q.dtype), vr,
+                             preferred_element_type=jnp.float32)
+        out_cls = out_cls.astype(q.dtype).reshape(b, 1, hd)
+        return jnp.concatenate([out_cls, out_tok], axis=1)
+
+    # phantom cls with zero k/v: contributes exactly e^-SHIFT per row to
+    # l (removed via extra_pad=1) and nothing anywhere else
+    block = _pick_block(n, FWD_BLOCK_TARGET)
+    zc = jnp.zeros((b, 1, hd), q.dtype)
+    out, _ = _flash_packed(q, k, v, zc, zc, float(scale), block, d, 1)
+    return out
 
 
 def flash_attention(q, k, v, scale: float | None = None,

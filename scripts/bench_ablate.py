@@ -36,10 +36,15 @@ if ABLATE == "attn":
     def _identity_attention(q, k, v, scale=None, impl="auto"):
         return v
 
+    def _identity_packed(q, k, v, num_heads, scale=None, impl="auto"):
+        return v
+
     attention.multi_head_attention = _identity_attention
-    # layers binds the name at import time; patch its reference too
+    attention.multi_head_attention_packed = _identity_packed
+    # layers binds the names at import time; patch its references too
     import octcubem_tpu.nn.layers as _layers
     _layers.multi_head_attention = _identity_attention
+    _layers.multi_head_attention_packed = _identity_packed
 
 from octcubem_tpu.models import mae3d
 from octcubem_tpu.train import optim, schedules

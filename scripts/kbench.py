@@ -51,9 +51,22 @@ def timeit(name, fn, *args):
     return dt
 
 
+if os.environ.get("KB_PACKED"):
+    from octcubem_tpu.ops.flash_attention import flash_attention_packed
+
+    q = q.transpose(0, 2, 1, 3).reshape(B, N, H * D)
+    k = k.transpose(0, 2, 1, 3).reshape(B, N, H * D)
+    v = v.transpose(0, 2, 1, 3).reshape(B, N, H * D)
+
+    def attn(q, k, v):
+        return flash_attention_packed(q, k, v, H)
+else:
+    def attn(q, k, v):
+        return flash_attention(q, k, v)
+
 if MODE in ("fwd", "both"):
     def fwd_only(q, k, v):
-        o = flash_attention(q, k, v)
+        o = attn(q, k, v)
         return (o, k, v)
 
     timeit(f"fwd  (B{B} H{H} N{N} D{D})", fwd_only, q, k, v)
@@ -61,7 +74,7 @@ if MODE in ("fwd", "both"):
 if MODE in ("bwd", "both"):
     def fwdbwd(q, k, v):
         def loss(q, k, v):
-            return (flash_attention(q, k, v).astype(jnp.float32) ** 2).sum()
+            return (attn(q, k, v).astype(jnp.float32) ** 2).sum()
         g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
         return g
 
