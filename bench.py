@@ -139,6 +139,17 @@ def main():
         "mfu": round(mfu, 4),
         "flops_per_volume_T": round(flops_per_vol / 1e12, 3),
         "baseline_note": "A100 est = 35% MFU of 312 TF fp16 on same FLOPs",
+        # why the >=40% MFU target is unreachable at parity (measured,
+        # NOTES_ROUND2.md): the decoder's head_dim-32 attention is MXU
+        # output-rate bound — qk^T/pv use 32 of 128 contraction lanes and
+        # the [N,N] score-element production rate binds, capping those
+        # matmuls at <20% of peak BY CONSTRUCTION. Measured perfect-step
+        # floor (attention at its hardware floor + linears at peak + AdamW
+        # HBM traffic) ~224ms -> ~28% MFU ceiling at batch 4. 40% would
+        # need head_dim >=128 or approximate attention — parity breaks.
+        "mfu_ceiling_note": "~28% at batch 4: head_dim-32 decoder "
+                            "attention is MXU output-rate bound "
+                            "(NOTES_ROUND2.md)",
     }))
 
 
