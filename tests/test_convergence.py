@@ -80,6 +80,47 @@ def test_mae_accum_matches_manual_microbatch_grads():
     assert metrics["frame_losses"].shape == (8, 2)
 
 
+def test_finetune_nan_recovery_path():
+    """Non-finite loss: params/opt_state revert, rng advances, and the
+    NEXT step trains normally — the recovery path behind the documented
+    deviation from the reference's halve-LR-and-continue
+    (main_finetune…singlefold.py:668-672)."""
+    import jax.numpy as jnp
+
+    from octcubem_tpu.train.finetune_engine import make_finetune_train_step
+
+    m = vit_st.VisionTransformerST(
+        num_frames=6, t_patch_size=3, img_size=32, patch_size=16,
+        in_chans=1, num_classes=2, embed_dim=32, depth=1, num_heads=2,
+        attn_impl="naive")
+    x = jax.random.uniform(jax.random.key(0), (4, 6, 32, 32, 1))
+    y = jnp.array([0, 1, 0, 1])
+    params = m.init(jax.random.key(1), x)
+    tx = optim.build_adamw(params, 1e-3)
+    state = TrainState.create(params, tx, jax.random.key(2))
+
+    def crit(logits, targets):
+        ce = -jax.nn.log_softmax(logits)[jnp.arange(len(targets)), targets]
+        # poison the loss when the batch is marked (targets all 9)
+        return jnp.where((targets == 9).all(), jnp.nan, ce.mean())
+
+    step = make_finetune_train_step(m, tx, crit)
+    p0 = np.asarray(jax.tree.leaves(state.params)[0])
+    rng0 = np.asarray(jax.random.key_data(state.rng))  # before donation
+    state, metrics = step(state, x, jnp.full((4,), 9))
+    assert not bool(metrics["finite"])
+    # params reverted exactly; rng advanced (next retry != same dropout)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(state.params)[0]), p0)
+    assert not np.array_equal(
+        np.asarray(jax.random.key_data(state.rng)), rng0)
+    # the next (clean) step updates params and reports finite
+    state, metrics = step(state, x, y)
+    assert bool(metrics["finite"])
+    assert not np.array_equal(
+        np.asarray(jax.tree.leaves(state.params)[0]), p0)
+
+
 def test_classifier_fits_separable_data():
     m = vit_st.VisionTransformerST(
         num_frames=6, t_patch_size=3, img_size=32, patch_size=16, in_chans=1,
