@@ -62,3 +62,56 @@ def random_masking(
 def gather_tokens(x: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
     """Gather tokens [B, L, D] by per-sample indices [B, K] -> [B, K, D]."""
     return jnp.take_along_axis(x, ids[..., None], axis=1)
+
+
+# Autodiff of take_along_axis produces a SCATTER-ADD, which XLA lowers
+# poorly on TPU.  The MAE gathers are permutations (or subsets of one),
+# so their exact VJPs are themselves gathers:
+#   unshuffle (full permutation p):      d/dx = gather by p^-1
+#   keep-gather (first K of a shuffle):  d/dx = pad grads with the masked
+#     zeros, then unshuffle — scatter(g at ids_keep) == take(concat(g, 0),
+#     ids_restore) because ids_restore[pos] indexes the shuffle rank.
+
+@jax.custom_vjp
+def permute_tokens(x: jnp.ndarray, ids: jnp.ndarray,
+                   ids_inv: jnp.ndarray) -> jnp.ndarray:
+    """[B, L, D] reordered by the permutation ids [B, L]; ids_inv is its
+    inverse (used only for the scatter-free backward)."""
+    return jnp.take_along_axis(x, ids[..., None], axis=1)
+
+
+def _permute_fwd(x, ids, ids_inv):
+    return permute_tokens(x, ids, ids_inv), (ids_inv,)
+
+
+def _permute_bwd(res, g):
+    (ids_inv,) = res
+    return jnp.take_along_axis(g, ids_inv[..., None], axis=1), None, None
+
+
+permute_tokens.defvjp(_permute_fwd, _permute_bwd)
+
+
+@jax.custom_vjp
+def gather_keep_tokens(x: jnp.ndarray, ids_keep: jnp.ndarray,
+                       ids_restore: jnp.ndarray) -> jnp.ndarray:
+    """[B, L, D] -> [B, K, D], the visible-token gather; ids_restore is
+    the full inverse shuffle (for the scatter-free backward)."""
+    return jnp.take_along_axis(x, ids_keep[..., None], axis=1)
+
+
+def _gather_keep_fwd(x, ids_keep, ids_restore):
+    out = gather_keep_tokens(x, ids_keep, ids_restore)
+    return out, (ids_restore, x.shape[1])
+
+
+def _gather_keep_bwd(res, g):
+    ids_restore, length = res
+    b, k, d = g.shape
+    pad = jnp.zeros((b, length - k, d), g.dtype)
+    full = jnp.concatenate([g, pad], axis=1)
+    dx = jnp.take_along_axis(full, ids_restore[..., None], axis=1)
+    return dx, None, None
+
+
+gather_keep_tokens.defvjp(_gather_keep_fwd, _gather_keep_bwd)
