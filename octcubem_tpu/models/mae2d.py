@@ -18,8 +18,7 @@ import flax.linen as nn
 
 from ..nn.layers import TransformerStack, LN_EPS
 from ..nn.patch_embed import PatchEmbed2D
-from ..ops.masking import (random_masking, gather_keep_tokens,
-                           permute_tokens)
+from ..ops.masking import random_masking, gather_tokens
 from ..ops.pos_embed import sincos_2d
 
 
@@ -91,7 +90,7 @@ class MaskedAutoencoderViT2D(nn.Module):
         x = x + self.pos_embed[:, 1:].astype(x.dtype)
         rng = self.make_rng("masking") if mask_ratio > 0 else None
         mk = random_masking(rng, b, l, mask_ratio)
-        x = gather_keep_tokens(x, mk.ids_keep, mk.ids_restore)
+        x = gather_tokens(x, mk.ids_keep)
         cls = (self.cls_token + self.pos_embed[:, :1]).astype(x.dtype)
         x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, d)), x], axis=1)
         x = self.blocks(x, deterministic)
@@ -105,8 +104,7 @@ class MaskedAutoencoderViT2D(nn.Module):
         mask_tokens = jnp.broadcast_to(
             self.mask_token, (b, l + 1 - x.shape[1], c)).astype(x.dtype)
         x_ = jnp.concatenate([x[:, 1:], mask_tokens], axis=1)
-        x_ = permute_tokens(x_, ids_restore,
-                            jnp.argsort(ids_restore, axis=1))
+        x_ = gather_tokens(x_, ids_restore)
         x = jnp.concatenate([x[:, :1], x_], axis=1)
         x = x + self.decoder_pos_embed.astype(x.dtype)
         x = self.decoder_blocks(x, deterministic)

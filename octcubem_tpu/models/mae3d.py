@@ -32,8 +32,7 @@ import flax.linen as nn
 
 from ..nn.layers import TransformerStack, LN_EPS
 from ..nn.patch_embed import PatchEmbed3D
-from ..ops.masking import (random_masking, gather_tokens,
-                           gather_keep_tokens, permute_tokens)
+from ..ops.masking import random_masking, gather_tokens
 from ..ops.patchify import patchify_3d
 from ..ops.resize import resize_grid_bicubic
 
@@ -164,9 +163,7 @@ class MaskedAutoencoderViT3D(nn.Module):
 
         rng = self.make_rng("masking") if mask_ratio > 0 else None
         mk = random_masking(rng, b, t * l, mask_ratio, pre_mask=pre_mask)
-        # scatter-free VJP (ops/masking.py): the bwd is an unshuffle
-        # gather of zero-padded grads, not a TPU scatter-add
-        x = gather_keep_tokens(x, mk.ids_keep, mk.ids_restore)
+        x = gather_tokens(x, mk.ids_keep)
 
         pos_spat, g = self._spatial_pos(self.pos_embed_spatial, high_res, d)
         if t == 1:
@@ -175,7 +172,7 @@ class MaskedAutoencoderViT3D(nn.Module):
             pos = (jnp.tile(pos_spat, (1, t, 1))
                    + jnp.repeat(self.pos_embed_temporal, g * g, axis=1))
         pos = jnp.broadcast_to(pos, (b, t * l, d))
-        pos = gather_keep_tokens(pos, mk.ids_keep, mk.ids_restore)
+        pos = gather_tokens(pos, mk.ids_keep)
 
         if self.cls_embed:
             cls = jnp.broadcast_to(self.cls_token, (b, 1, d)).astype(x.dtype)
@@ -205,9 +202,7 @@ class MaskedAutoencoderViT3D(nn.Module):
         mask_tokens = jnp.broadcast_to(
             self.mask_token, (b, n_mask, c)).astype(x.dtype)
         x = jnp.concatenate([x, mask_tokens], axis=1)
-        # unshuffle: a full permutation; its exact VJP is the forward
-        # shuffle (argsort of ids_restore), avoiding the bwd scatter
-        x = permute_tokens(x, ids_restore, jnp.argsort(ids_restore, axis=1))
+        x = gather_tokens(x, ids_restore)  # unshuffle
 
         pos_spat, _ = self._spatial_pos(
             self.decoder_pos_embed_spatial, high_res, c)

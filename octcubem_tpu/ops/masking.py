@@ -64,9 +64,13 @@ def gather_tokens(x: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
     return jnp.take_along_axis(x, ids[..., None], axis=1)
 
 
-# Autodiff of take_along_axis produces a SCATTER-ADD, which XLA lowers
-# poorly on TPU.  The MAE gathers are permutations (or subsets of one),
-# so their exact VJPs are themselves gathers:
+# Autodiff of take_along_axis produces a SCATTER-ADD on the backward.
+# The MAE gathers are permutations (or subsets of one), so their exact
+# VJPs can be expressed as gathers.  MEASURED on v5e (NOTES_ROUND2.md):
+# XLA already lowers these permutation scatters efficiently, and the
+# custom VJPs' extra argsort/concat made the full step ~2ms SLOWER, so
+# the models keep plain take_along_axis; these utilities remain for
+# backends where scatter is the bottleneck:
 #   unshuffle (full permutation p):      d/dx = gather by p^-1
 #   keep-gather (first K of a shuffle):  d/dx = pad grads with the masked
 #     zeros, then unshuffle — scatter(g at ids_keep) == take(concat(g, 0),
