@@ -50,6 +50,11 @@ def build_model(cfg, dtype):
                   img_size=cfg.input_size, in_chans=cfg.in_chans,
                   global_pool=cfg.global_pool, sep_pos_embed=cfg.sep_pos_embed,
                   cls_embed=cfg.cls_embed)
+        if getattr(cfg, "variable_joint", False):
+            # joint dual-res model: second 512² patch embed + pos embed
+            # stored at the high-res grid (models_vit_st_joint_flash_attn
+            # .py:74-120)
+            kw.update(high_res_input_size=cfg.high_res_input_size)
     elif cfg.model_family == "vit_3dhead":
         kw.update(img_size=cfg.input_size, in_chans=cfg.in_chans,
                   global_pool=cfg.global_pool)
@@ -90,7 +95,14 @@ def run_fold(cfg, model, datasets, log, fold_tag=""):
                               num_workers=2)
 
     sample, _ = ds_train[0]
-    x0 = jnp.zeros((batch,) + sample.shape)
+    # variable_joint: the dataset yields (low_res, high_res) volume pairs
+    # (PatientDataset_inhouse.py return_both_res_image); training alternates
+    # the two streams through the joint model's resolution dispatch so both
+    # patch embeds train.  The reference's own engine call is defective
+    # (engine_finetune.py:433-435 passes the high-res batch as the
+    # hidden_states flag) — this implements the documented intent instead.
+    variable_joint = isinstance(sample, tuple)
+    x0 = jnp.zeros((batch,) + (sample[0] if variable_joint else sample).shape)
     params = jax.jit(model.init)(jax.random.key(cfg.seed), x0)
     if cfg.finetune_ckpt:
         sd = load_torch_checkpoint(cfg.finetune_ckpt)
@@ -119,6 +131,8 @@ def run_fold(cfg, model, datasets, log, fold_tag=""):
 
     def eval_batches(ld):
         for x, y in ld:
+            if variable_joint:
+                x = x[1]  # evaluate on the high-res stream
             yield jnp.asarray(x), y
 
     best_test = None
@@ -127,8 +141,11 @@ def run_fold(cfg, model, datasets, log, fold_tag=""):
             ld_tr.set_epoch(epoch)
             meter = MetricLogger()
             n_nan = 0
-            for x, y in meter.log_every(ld_tr, 10, f"Epoch [{epoch}]{fold_tag}",
-                                        logger=log):
+            for it, (x, y) in enumerate(
+                    meter.log_every(ld_tr, 10, f"Epoch [{epoch}]{fold_tag}",
+                                    logger=log)):
+                if variable_joint:
+                    x = x[(epoch + it) % 2]  # alternate low/high-res streams
                 b = shard_batch(jnp.asarray(x), mesh)
                 state, m = step_fn(state, b, jnp.asarray(y))
                 if not bool(m["finite"]):
@@ -177,6 +194,7 @@ def main(argv=None):
     parser.add_argument("--batch_size", type=int, default=None)
     parser.add_argument("--output_dir", default=None)
     parser.add_argument("--k_folds", type=int, default=None)
+    parser.add_argument("--variable_joint", action="store_true", default=None)
     parser.add_argument("--tiny", action="store_true")
     args = parser.parse_args(argv)
 
@@ -189,13 +207,14 @@ def main(argv=None):
 
     overrides = {k: v for k, v in (
         ("epochs", args.epochs), ("batch_size", args.batch_size),
-        ("output_dir", args.output_dir), ("k_folds", args.k_folds))
+        ("output_dir", args.output_dir), ("k_folds", args.k_folds),
+        ("variable_joint", args.variable_joint))
         if v is not None}
     cfg = load_config(FinetuneConfig, args.preset, **overrides)
     if args.tiny:
         cfg = dataclasses.replace(
             cfg, num_frames=6, input_size=32, num_classes=6,
-            disease_list=("AMD", "DME", "POG"))
+            high_res_input_size=64, disease_list=("AMD", "DME", "POG"))
     os.makedirs(cfg.output_dir, exist_ok=True)
     log = get_logger("finetune", os.path.join(cfg.output_dir, "out.log"))
     with open(os.path.join(cfg.output_dir, "args.json"), "w") as f:
@@ -207,7 +226,9 @@ def main(argv=None):
         model = VisionTransformerST(
             num_frames=cfg.num_frames, t_patch_size=3, img_size=cfg.input_size,
             in_chans=1, num_classes=cfg.num_classes, embed_dim=32, depth=2,
-            num_heads=2, dtype=dtype, attn_impl="auto")
+            num_heads=2, dtype=dtype, attn_impl="auto",
+            high_res_input_size=(cfg.high_res_input_size
+                                 if cfg.variable_joint else None))
     else:
         model = build_model(cfg, dtype)
 
@@ -241,13 +262,24 @@ def main(argv=None):
                                             disease_list=cfg.disease_list)
         tr_t, va_t = transforms.create_3d_transforms(cfg.input_size,
                                                      cfg.num_frames)
+        hi_tr = hi_va = None
+        if cfg.variable_joint:
+            # dual-res transforms (main_…singlefold.py:269-276: high-res
+            # factory with normalize=False)
+            hi_frames = cfg.high_res_num_frames or cfg.num_frames
+            hi_tr, hi_va = transforms.create_3d_transforms(
+                cfg.high_res_input_size, hi_frames)
         folds = []
         for fold in range(max(1, cfg.k_folds)):
             trv, vav, tev = patients.kfold_patient_split(
                 visits, max(2, cfg.k_folds), fold, seed=cfg.seed)
-            mk3 = lambda vs, t: patients.PatientDataset3D(
-                vs, label_fn, max_frames=cfg.num_frames, transform=t)
-            folds.append((mk3(trv, tr_t), mk3(vav, va_t), mk3(tev, va_t)))
+            mk3 = lambda vs, t, hi: patients.PatientDataset3D(
+                vs, label_fn, max_frames=cfg.num_frames, transform=t,
+                return_both_res_image=cfg.variable_joint,
+                high_res_transform=hi,
+                high_res_max_frames=cfg.high_res_num_frames or cfg.num_frames)
+            folds.append((mk3(trv, tr_t, hi_tr), mk3(vav, va_t, hi_va),
+                          mk3(tev, va_t, hi_va)))
 
     results = []
     for fold, datasets in enumerate(folds):

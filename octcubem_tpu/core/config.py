@@ -88,6 +88,16 @@ class FinetuneConfig:
     global_pool: bool = True
     sep_pos_embed: bool = True
     cls_embed: bool = True
+    # variable_joint dual-resolution fine-tune (main_finetune_downstream_
+    # inhouse_singlefold.py:84-85,269-276 + models_vit_st_joint_flash_attn
+    # .py:74-120): dataset yields (low, high) pairs; training alternates
+    # the two streams through the joint model's resolution dispatch.  (The
+    # reference engine's own call `model(samples, samples_high_res)` passes
+    # the high-res batch into the `hidden_states` flag — a defect in
+    # default-off code, engine_finetune.py:433-435; we implement the intent.)
+    variable_joint: bool = False
+    high_res_input_size: int = 512
+    high_res_num_frames: Optional[int] = None
     k_folds: int = 1
     fold: int = 0
     patience: Optional[int] = None

@@ -229,6 +229,13 @@ class PatientDataset3D:
     return_patient_id: bool = False
     return_frame_paths: bool = False
     shift_mean_std: bool = True
+    # variable_joint dual-resolution mode (PatientDataset_inhouse.py:418-527,
+    # return_both_res_image/high_res_transform/high_res_num_frames): the
+    # sample becomes a (low_res, high_res) pair — the same raw frames pushed
+    # through a second transform, center-cropped to high_res_max_frames.
+    return_both_res_image: bool = False
+    high_res_transform: Callable | None = None
+    high_res_max_frames: int | None = None
     seed: int = 0
 
     def __len__(self):
@@ -249,6 +256,7 @@ class PatientDataset3D:
                 downsample_width=self.downsample_width)
         else:
             raise ValueError(self.dataset_mode)
+        raw = vol
         if self.max_frames:
             vol = ingest.pad_or_crop_frames(vol, self.max_frames,
                                             self.same_3_frames)
@@ -257,6 +265,14 @@ class PatientDataset3D:
         label = self.label_fn(v)
         # channel-last for the TPU models
         sample = vol[..., None] if vol.ndim == 3 else vol
+        if self.return_both_res_image and self.high_res_transform is not None:
+            hi = raw
+            if self.high_res_max_frames:
+                hi = ingest.pad_or_crop_frames(hi, self.high_res_max_frames,
+                                               self.same_3_frames)
+            hi = self.high_res_transform(hi, rng=rng)
+            hi = hi[..., None] if hi.ndim == 3 else hi
+            sample = (sample, hi)
         if self.return_frame_paths:
             # frame paths aligned with the (padded/cropped) frame axis —
             # the SPL hardness keys (reference keys all_image_dict by
