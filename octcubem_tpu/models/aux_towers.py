@@ -10,9 +10,14 @@ Parity targets (retinal-COEM/src/open_clip/):
   anti-aliased strided bottlenecks, attention pooling) and
   vision_transformer4k.py:161-259 (HIPT region ViT over feature maps):
   implemented natively below and selectable via the COEM factory.
-- focalnet.py / perceiver.py: third-party experiments no reference
-  config selects; constructors raise with a pointer here so a config
-  naming them fails loudly rather than silently.
+- focalnet.py:40-503 (Focal Modulation Network trunk + the srf/lrf
+  constructor family, selected through the timm adapter
+  timm_model.py:30-125) and perceiver.py:1-112 +
+  perceiver_module.py:128-739 (Perceiver encoder over patch-feature
+  bags with tile-coordinate sincos embeddings): flax ports below,
+  selectable via the COEM factory ('tower': 'focalnet' | 'perceiver').
+  No shipped reference config uses them, but they are config-selectable
+  encoders in the reference factory (model.py:139-419).
 """
 
 from __future__ import annotations
@@ -463,22 +468,359 @@ class VisionTransformer4K(nn.Module):
         return feat
 
 
-def _experimental(name: str, ref: str):
-    def ctor(*a, **k):
-        raise NotImplementedError(
-            f"{name} is an experimental aux tower in the reference ({ref}) "
-            "that no shipped model config uses (model.py:139-419 selects "
-            "it only for unshipped configs); select a ViT/enface/"
-            "ModifiedResNet/VisionTransformer4K tower instead, or "
-            "contribute a flax port here.")
-    return ctor
+class FocalModulation(nn.Module):
+    """Focal modulation (focalnet.py:40-101): a Dense produces
+    (query, context, level-gates); the context passes through a pyramid of
+    depthwise convs (kernel focal_factor*l + focal_window), each level's
+    output gated and summed, plus a gated global-average level; a 1x1 conv
+    forms the modulator which multiplies the query.  NHWC throughout —
+    depthwise convs and 1x1s map directly onto XLA's TPU conv path."""
+
+    dim: int
+    focal_window: int = 3
+    focal_level: int = 2
+    focal_factor: int = 2
+    use_postln: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # [B, H, W, C]
+        c = self.dim
+        f = nn.Dense(2 * c + self.focal_level + 1, dtype=self.dtype,
+                     name="f")(x)
+        q, ctx, gates = f[..., :c], f[..., c:2 * c], f[..., 2 * c:]
+        ctx_all = jnp.zeros_like(ctx)
+        for l in range(self.focal_level):
+            k = self.focal_factor * l + self.focal_window
+            ctx = nn.Conv(c, (k, k), feature_group_count=c, use_bias=False,
+                          padding="SAME", dtype=self.dtype,
+                          name=f"focal_{l}")(ctx)
+            ctx = nn.gelu(ctx, approximate=False)
+            ctx_all = ctx_all + ctx * gates[..., l:l + 1]
+        ctx_global = nn.gelu(ctx.mean(axis=(1, 2), keepdims=True),
+                             approximate=False)
+        ctx_all = ctx_all + ctx_global * gates[..., self.focal_level:]
+        modulator = nn.Conv(c, (1, 1), dtype=self.dtype, name="h")(ctx_all)
+        out = q * modulator
+        if self.use_postln:
+            out = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32,
+                               name="ln")(out)
+        return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 
 
-# FocalNet and Perceiver remain stubs by design: no shipped reference
-# config selects them (verified against model_configs/*.json), and their
-# upstream sources (focalnet.py 728 LoC, perceiver_module.py 816 LoC)
-# are third-party experiments, not OCTCube components.
-focalnet = _experimental("FocalNet", "open_clip/focalnet.py")
-perceiver = _experimental("Perceiver", "open_clip/perceiver.py")
+class _FocalNetBlock(nn.Module):
+    """Pre-norm modulation + MLP block with optional layerscale
+    (focalnet.py:126-191)."""
+
+    dim: int
+    mlp_ratio: float = 4.0
+    focal_level: int = 2
+    focal_window: int = 3
+    use_layerscale: bool = False
+    layerscale_value: float = 1e-4
+    use_postln: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # [B, H, W, C]
+        g1 = g2 = 1.0
+        if self.use_layerscale:
+            init = nn.initializers.constant(self.layerscale_value)
+            g1 = self.param("gamma_1", init, (self.dim,))
+            g2 = self.param("gamma_2", init, (self.dim,))
+        shortcut = x
+        x = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32, name="norm1")(x)
+        x = FocalModulation(self.dim, self.focal_window, self.focal_level,
+                            use_postln=self.use_postln, dtype=self.dtype,
+                            name="modulation")(x)
+        x = shortcut + g1 * x
+        y = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32, name="norm2")(x)
+        y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
+                     name="mlp_fc1")(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(y)
+        return x + g2 * y
+
+
+class FocalNet(nn.Module):
+    """Focal Modulation Network trunk (focalnet.py:356-503), NHWC.
+
+    4 stages with channel doubling; stage transitions are stride-2 patch
+    embeds (k3/s2/p1 when use_conv_embed else non-overlapping 2x2); stem
+    is a 4x4/s4 embed (k7/s4/p2 when use_conv_embed).  Returns the
+    globally mean-pooled final feature [B, num_features] — the reference
+    forward leaves the classifier head to the wrapper
+    (focalnet.py:498-501, timm_model.py:53-82)."""
+
+    img_size: int = 224
+    patch_size: int = 4
+    in_chans: int = 3
+    embed_dim: int = 96
+    depths: tuple = (2, 2, 6, 2)
+    mlp_ratio: float = 4.0
+    focal_levels: tuple = (2, 2, 2, 2)
+    focal_windows: tuple = (3, 3, 3, 3)
+    use_conv_embed: bool = False
+    use_layerscale: bool = False
+    use_postln: bool = False
+    patch_norm: bool = True
+    dtype: Any = jnp.float32
+
+    @property
+    def num_features(self) -> int:
+        return self.embed_dim * 2 ** (len(self.depths) - 1)
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):  # [B, H, W, C]
+        def embed(y, dim, is_stem, name):
+            if self.use_conv_embed:
+                k, s, p = (7, 4, 2) if is_stem else (3, 2, 1)
+            else:
+                k = s = self.patch_size if is_stem else 2
+                p = 0
+            y = nn.Conv(dim, (k, k), strides=(s, s),
+                        padding=((p, p), (p, p)), dtype=self.dtype,
+                        name=f"{name}_proj")(y)
+            if self.patch_norm:
+                y = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32,
+                                 name=f"{name}_norm")(y)
+            return y
+
+        x = embed(x, self.embed_dim, True, "patch_embed")
+        for i, depth in enumerate(self.depths):
+            dim = self.embed_dim * 2 ** i
+            for j in range(depth):
+                x = _FocalNetBlock(
+                    dim, self.mlp_ratio, self.focal_levels[i],
+                    self.focal_windows[i],
+                    use_layerscale=self.use_layerscale,
+                    use_postln=self.use_postln, dtype=self.dtype,
+                    name=f"layers_{i}_blocks_{j}")(x)
+            if i < len(self.depths) - 1:
+                x = embed(x, dim * 2, False, f"downsample_{i}")
+        x = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32, name="norm")(x)
+        return x.mean(axis=(1, 2))  # [B, num_features]
+
+
+def _focalnet_variant(kw, **defaults) -> FocalNet:
+    cfg = dict(defaults)
+    cfg.update(kw)  # explicit caller kwargs win over the variant defaults
+    return FocalNet(**cfg)
+
+
+def focalnet_tiny_srf(**kw) -> FocalNet:
+    """focalnet.py:551-567."""
+    return _focalnet_variant(kw, depths=(2, 2, 6, 2),
+                             focal_levels=(2, 2, 2, 2), embed_dim=96,
+                             use_layerscale=True)
+
+
+def focalnet_small_srf(**kw) -> FocalNet:
+    """focalnet.py:569-585."""
+    return _focalnet_variant(kw, depths=(2, 2, 18, 2),
+                             focal_levels=(2, 2, 2, 2), embed_dim=96,
+                             use_layerscale=True)
+
+
+def focalnet_base_srf(**kw) -> FocalNet:
+    """focalnet.py:587-603."""
+    return _focalnet_variant(kw, depths=(2, 2, 18, 2),
+                             focal_levels=(2, 2, 2, 2), embed_dim=128,
+                             use_layerscale=True)
+
+
+def focalnet_tiny_lrf(**kw) -> FocalNet:
+    """focalnet.py:605-621 (large receptive field: 3 focal levels)."""
+    return _focalnet_variant(kw, depths=(2, 2, 6, 2),
+                             focal_levels=(3, 3, 3, 3), embed_dim=96,
+                             use_layerscale=True)
+
+
+def focalnet_small_lrf(**kw) -> FocalNet:
+    """focalnet.py:623-639."""
+    return _focalnet_variant(kw, depths=(2, 2, 18, 2),
+                             focal_levels=(3, 3, 3, 3), embed_dim=96,
+                             use_layerscale=True)
+
+
+def focalnet_base_lrf(**kw) -> FocalNet:
+    """focalnet.py:641-657."""
+    return _focalnet_variant(kw, depths=(2, 2, 18, 2),
+                             focal_levels=(3, 3, 3, 3), embed_dim=128,
+                             use_layerscale=True)
+
+
+class _PerceiverMHA(nn.Module):
+    """Pre-LN (cross-)attention with separate q/kv norms, residual, and a
+    pre-LN MLP residual (perceiver_module.py:282-443: CrossAttentionLayer
+    / SelfAttentionLayer with widening_factor=1)."""
+
+    num_heads: int
+    channels: int
+    widening_factor: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xq, xkv=None, pad_mask=None):
+        kv_in = xq if xkv is None else xkv
+        q_in = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32,
+                            name="q_norm")(xq)
+        kv_n = (q_in if xkv is None else
+                nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32,
+                             name="kv_norm")(kv_in))
+        hd = self.channels // self.num_heads
+        b, nq = q_in.shape[:2]
+        nk = kv_n.shape[1]
+        q = nn.Dense(self.channels, dtype=self.dtype, name="q_proj")(q_in)
+        k = nn.Dense(self.channels, dtype=self.dtype, name="k_proj")(kv_n)
+        v = nn.Dense(self.channels, dtype=self.dtype, name="v_proj")(kv_n)
+        q = q.reshape(b, nq, self.num_heads, hd)
+        k = k.reshape(b, nk, self.num_heads, hd)
+        v = v.reshape(b, nk, self.num_heads, hd)
+        s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                       preferred_element_type=jnp.float32) * hd ** -0.5
+        if pad_mask is not None:  # 1 = padded (perceiver_module.py:195-…)
+            s = jnp.where(pad_mask[:, None, None, :].astype(bool),
+                          jnp.finfo(jnp.float32).min, s)
+        p = jax.nn.softmax(s, axis=-1)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", p.astype(v.dtype), v)
+        out = nn.Dense(self.channels, dtype=self.dtype,
+                       name="o_proj")(ctx.reshape(b, nq, self.channels))
+        x = xq + out
+        y = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32,
+                         name="mlp_norm")(x)
+        y = nn.Dense(self.channels * self.widening_factor, dtype=self.dtype,
+                     name="mlp_fc1")(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(self.channels, dtype=self.dtype, name="mlp_fc2")(y)
+        return x + y
+
+
+class VisionPerceiver(nn.Module):
+    """Perceiver encoder over pre-extracted patch-feature bags
+    (perceiver.py:87-112 + perceiver_module.py:568-739, perceiver_base
+    config: 1 cross-attention layer, 4 heads, 6 self-attention layers).
+
+    Input: [B, M, num_image_channels] features with optional [B, M, 2]
+    pixel coordinates and a [B, M] pad mask (1 = padded).  The input
+    adapter projects features and adds a 2D sincos embedding of the
+    256-px tile index on a 1000x1000 grid (perceiver.py:38-68) —
+    computed directly from the coords instead of indexing the
+    reference's materialized 1e6-row table (identical values; the table
+    would be ~1 GB of frozen fp16 on device).  Latents are mean-pooled
+    to the output feature."""
+
+    num_latents: int = 256
+    num_latent_channels: int = 512
+    num_image_channels: int = 512
+    num_cross_attention_heads: int = 4
+    num_self_attention_heads: int = 4
+    num_self_attention_layers: int = 6
+    grid_size: int = 1000
+    tile: int = 256
+    dtype: Any = jnp.float32
+
+    def _coord_pos_embed(self, coords):
+        """[B, M, 2] pixel coords -> [B, M, C] sincos of the tile index
+        (CoordInputAdapter.make_grids: row-major index on the grid,
+        clamped; sincos halves are the 2D grid embedding of (row, col))."""
+        pos = jnp.floor(coords / float(self.tile))
+        pos = jnp.clip(pos, 0, self.grid_size - 1)
+        c_half = self.num_latent_channels // 2
+        # matches ops.pos_embed.sincos_2d layout: h-half then w-half
+        def sincos(p):  # [B, M] -> [B, M, c_half]
+            omega = jnp.arange(c_half // 2, dtype=jnp.float32) / (c_half / 2.0)
+            omega = 1.0 / 10000 ** omega
+            out = p[..., None].astype(jnp.float32) * omega
+            return jnp.concatenate([jnp.sin(out), jnp.cos(out)], axis=-1)
+
+        return jnp.concatenate(
+            [sincos(pos[..., 0]), sincos(pos[..., 1])], axis=-1)
+
+    @nn.compact
+    def __call__(self, x, coords=None, pad_mask=None,
+                 deterministic: bool = True):
+        b, m, _ = x.shape
+        x = nn.Dense(self.num_latent_channels, dtype=self.dtype,
+                     name="input_proj")(x)
+        if coords is None:
+            # default: row-major tile coords over a square token grid
+            g = max(1, int(np.ceil(np.sqrt(m))))
+            idx = jnp.arange(m)
+            coords = jnp.stack(
+                [(idx // g) * self.tile, (idx % g) * self.tile],
+                axis=-1).astype(jnp.float32)
+            coords = jnp.broadcast_to(coords[None], (b, m, 2))
+        x = x + self._coord_pos_embed(coords).astype(x.dtype)
+
+        latents = self.param(
+            "latents", nn.initializers.normal(0.02),
+            (self.num_latents, self.num_latent_channels))
+        z = jnp.broadcast_to(latents[None].astype(x.dtype),
+                             (b,) + latents.shape)
+        z = _PerceiverMHA(self.num_cross_attention_heads,
+                          self.num_latent_channels, dtype=self.dtype,
+                          name="cross_attn")(z, x, pad_mask)
+        for i in range(self.num_self_attention_layers):
+            z = _PerceiverMHA(self.num_self_attention_heads,
+                              self.num_latent_channels, dtype=self.dtype,
+                              name=f"self_attn_{i}")(z)
+        return z.mean(axis=1)  # [B, num_latent_channels]
+
+
+FOCALNET_VARIANTS = {
+    "focalnet_tiny_srf": focalnet_tiny_srf,
+    "focalnet_small_srf": focalnet_small_srf,
+    "focalnet_base_srf": focalnet_base_srf,
+    "focalnet_tiny_lrf": focalnet_tiny_lrf,
+    "focalnet_small_lrf": focalnet_small_lrf,
+    "focalnet_base_lrf": focalnet_base_lrf,
+}
+
+
+class FocalNetTower(nn.Module):
+    """TimmModel-equivalent CLIP wrapper for a FocalNet trunk
+    (timm_model.py:30-125: trunk + linear projection head to the embed
+    dim; focalnet trunks skip the timm pooling re-config since the trunk
+    already mean-pools, timm_model.py:53)."""
+
+    out_dim: int
+    model_name: str = "focalnet_tiny_srf"
+    trunk_cfg: dict = None
+    proj_bias: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        trunk = FOCALNET_VARIANTS[self.model_name](
+            dtype=self.dtype, name="trunk", **(self.trunk_cfg or {}))
+        f = trunk(x, deterministic)
+        return nn.Dense(self.out_dim, use_bias=self.proj_bias,
+                        dtype=self.dtype, name="head_proj")(f)
+
+
+class PerceiverTower(nn.Module):
+    """CLIP wrapper for VisionPerceiver matching the positional
+    visual(x, deterministic) tower contract; accepts [B, M, C] feature
+    bags or [B, H, W, C] maps (flattened row-major, which matches the
+    default tile-grid coords)."""
+
+    out_dim: int
+    cfg: dict = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True, coords=None,
+                 pad_mask=None):
+        if x.ndim == 4:
+            b, h, w, c = x.shape
+            x = x.reshape(b, h * w, c)
+        cfg = dict(self.cfg or {})
+        cfg.setdefault("num_image_channels", x.shape[-1])
+        p = VisionPerceiver(dtype=self.dtype, name="perceiver", **cfg)
+        z = p(x, coords, pad_mask, deterministic)
+        if z.shape[-1] != self.out_dim:
+            z = nn.Dense(self.out_dim, dtype=self.dtype, name="proj")(z)
+        return z
 hipt_vit4k = VisionTransformer4K
 modified_resnet = ModifiedResNet

@@ -155,6 +155,20 @@ def _build_vision_tower(cfg, out_dim, dtype, attn_impl, remat, capture_cam):
 
         # the cls head doubles as the CLIP projection
         return VisionTransformer4K(num_classes=out_dim, dtype=dtype, **cfg)
+    if tower == "focalnet" or str(cfg.get("model_name", "")).startswith(
+            "focalnet"):
+        # timm adapter branch (model.py:139-148 + timm_model.py:30-125)
+        from .aux_towers import FocalNetTower
+
+        name = cfg.pop("model_name", "focalnet_tiny_srf")
+        return FocalNetTower(out_dim=out_dim, model_name=name,
+                             trunk_cfg=cfg, dtype=dtype)
+    if tower == "perceiver" or "perceiver" in str(cfg.get("model_name", "")):
+        # VisionPerceiver branch (model.py:185-190)
+        from .aux_towers import PerceiverTower
+
+        cfg.pop("model_name", None)
+        return PerceiverTower(out_dim=out_dim, cfg=cfg, dtype=dtype)
     return OCTTower(out_dim=out_dim, dtype=dtype, attn_impl=attn_impl,
                     remat=remat, capture_cam=capture_cam, **cfg)
 

@@ -56,13 +56,98 @@ def test_text_transformer():
     assert np.isfinite(np.asarray(out)).all()
 
 
-def test_experimental_towers_raise():
-    from octcubem_tpu.models import aux_towers
-    import pytest
-    with pytest.raises(NotImplementedError):
-        aux_towers.perceiver()
-    with pytest.raises(NotImplementedError):
-        aux_towers.focalnet()
+def test_focalnet_forward():
+    """FocalNet trunk (focalnet.py:40-503): focal modulation pyramid,
+    4 stages with channel doubling and stride-2 transitions, mean-pooled
+    final features of dim embed_dim*8."""
+    from octcubem_tpu.models.aux_towers import FocalNet, FocalNetTower
+
+    m = FocalNet(img_size=32, patch_size=4, in_chans=3, embed_dim=8,
+                 depths=(1, 1, 1, 1), focal_levels=(2, 2, 2, 2),
+                 use_layerscale=True)
+    x = jnp.asarray(np.random.default_rng(0).random((2, 32, 32, 3)),
+                    jnp.float32)
+    params = m.init(jax.random.key(0), x)
+    out = m.apply(params, x)
+    assert out.shape == (2, 8 * 8) and np.isfinite(np.asarray(out)).all()
+
+    # conv-embed variant (k7/s4 stem, k3/s2 transitions) keeps the same
+    # feature geometry
+    m2 = FocalNet(img_size=32, patch_size=4, in_chans=3, embed_dim=8,
+                  depths=(1, 1), focal_levels=(3, 3), use_conv_embed=True)
+    p2 = m2.init(jax.random.key(0), x)
+    out2 = m2.apply(p2, x)
+    assert out2.shape == (2, 16) and np.isfinite(np.asarray(out2)).all()
+
+    # CLIP wrapper projects to the embed dim (timm_model.py:53-82)
+    tower = FocalNetTower(out_dim=16, model_name="focalnet_tiny_srf",
+                          trunk_cfg=dict(img_size=32, patch_size=4,
+                                         embed_dim=8, depths=(1, 1)))
+    pt = tower.init(jax.random.key(0), x)
+    ot = tower.apply(pt, x)
+    assert ot.shape == (2, 16)
+
+
+def test_perceiver_forward():
+    """VisionPerceiver (perceiver.py:87-112): feature-bag input + tile
+    coords -> cross-attention into latents -> self-attention -> mean
+    pool; padded tokens are masked out of the cross-attention."""
+    from octcubem_tpu.models.aux_towers import VisionPerceiver
+
+    m = VisionPerceiver(num_latents=4, num_latent_channels=16,
+                        num_image_channels=8,
+                        num_self_attention_layers=2)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((2, 6, 8)), jnp.float32)
+    coords = jnp.asarray(rng.integers(0, 4000, (2, 6, 2)), jnp.float32)
+    params = m.init(jax.random.key(0), x, coords)
+    out = m.apply(params, x, coords)
+    assert out.shape == (2, 16) and np.isfinite(np.asarray(out)).all()
+
+    # pad mask: masking the last tokens changes nothing when those tokens
+    # are then zeroed vs randomized (their kv rows are excluded)
+    pad = jnp.asarray([[0, 0, 0, 0, 1, 1]] * 2, jnp.float32)
+    x_a = x.at[:, 4:].set(0.0)
+    x_b = x.at[:, 4:].set(99.0)
+    o_a = m.apply(params, x_a, coords, pad)
+    o_b = m.apply(params, x_b, coords, pad)
+    np.testing.assert_allclose(np.asarray(o_a), np.asarray(o_b), atol=1e-5)
+
+    # default coords path (no coords arg)
+    o_d = m.apply(params, x)
+    assert np.isfinite(np.asarray(o_d)).all()
+
+
+def test_coem_factory_selects_focalnet_perceiver():
+    """'tower': 'focalnet' / 'perceiver' configs build and forward
+    through the COEM factory (model.py:139-190 dispatch)."""
+    from octcubem_tpu.models import coem
+
+    enf = dict(img_size=32, patch_size=16, in_chans=3, embed_dim=32,
+               depth=1, num_heads=2, parity="standard")
+    m = coem.COEP2Tower(
+        embed_dim=16,
+        vision_cfg=dict(tower="focalnet", model_name="focalnet_tiny_srf",
+                        img_size=32, patch_size=4, embed_dim=8,
+                        depths=(1, 1)),
+        enface_cfg=enf, attn_impl="naive")
+    img = jnp.ones((2, 32, 32, 3))
+    enface = jnp.ones((2, 32, 32, 3))
+    variables = m.init(jax.random.key(0), img, enface)
+    fi, fe, _ = m.apply(variables, img, enface)
+    assert fi.shape == (2, 16) and fe.shape == (2, 16)
+
+    m2 = coem.COEP2Tower(
+        embed_dim=16,
+        vision_cfg=dict(tower="perceiver", num_latents=4,
+                        num_latent_channels=16,
+                        num_self_attention_layers=1),
+        enface_cfg=enf, attn_impl="naive")
+    bag = jnp.ones((2, 6, 8))
+    v2 = m2.init(jax.random.key(0), bag, enface)
+    fi2, fe2, _ = m2.apply(v2, bag, enface)
+    assert fi2.shape == (2, 16) and fe2.shape == (2, 16)
+    assert np.isfinite(np.asarray(fi2)).all()
 
 
 def test_modified_resnet_forward():
