@@ -141,6 +141,12 @@ def run_fold(cfg, model, datasets, log, fold_tag=""):
             ld_tr.set_epoch(epoch)
             meter = MetricLogger()
             n_nan = 0
+            # one-step-deep pipeline: read step t-1's metrics after
+            # dispatching step t, so host batch prep overlaps the device
+            # step (the float()/bool() reads are the sync points; the
+            # engine's in-jit NaN revert keeps correctness independent of
+            # when the host observes "finite")
+            pending = None
             for it, (x, y) in enumerate(
                     meter.log_every(ld_tr, 10, f"Epoch [{epoch}]{fold_tag}",
                                     logger=log)):
@@ -148,9 +154,15 @@ def run_fold(cfg, model, datasets, log, fold_tag=""):
                     x = x[(epoch + it) % 2]  # alternate low/high-res streams
                 b = shard_batch(jnp.asarray(x), mesh)
                 state, m = step_fn(state, b, jnp.asarray(y))
-                if not bool(m["finite"]):
-                    n_nan += 1
-                meter.update(loss=float(m["loss"]) if bool(m["finite"]) else 0.0)
+                if pending is not None:
+                    ok = bool(pending["finite"])
+                    n_nan += 0 if ok else 1
+                    meter.update(loss=float(pending["loss"]) if ok else 0.0)
+                pending = m
+            if pending is not None:
+                ok = bool(pending["finite"])
+                n_nan += 0 if ok else 1
+                meter.update(loss=float(pending["loss"]) if ok else 0.0)
             val_metrics, _, _ = evaluate(predict, state.params,
                                          eval_batches(ld_va), cfg.task_mode)
             improved = tracker.update(epoch, val_metrics)

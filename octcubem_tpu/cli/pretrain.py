@@ -252,6 +252,32 @@ def main(argv=None):
             ld3.set_epoch(epoch)
             meter = MetricLogger()
             t0 = time.time()
+
+            def consume(metrics, fpaths):
+                # host-side reads of a PREVIOUS step's results: loss
+                # finiteness, SPL hardness, meters.  Deferring these one
+                # step double-buffers dispatch — the loader/premask/SPL
+                # host work overlaps the device step instead of blocking
+                # on it (the jax dispatch is async; the float() reads are
+                # the sync points).
+                loss = float(metrics["loss"])
+                if not np.isfinite(loss):
+                    # delete recent checkpoints so a resume restarts from a
+                    # pre-divergence state (engine_pretrain.py:153-161)
+                    deleted = ckpt_lib.delete_recent_checkpoints(ckpt_dir, 2)
+                    log.info(f"removed checkpoints {deleted} after NaN")
+                    raise RuntimeError(f"Loss is {loss}, stopping training")
+                # SPL hardness: the 3D batch's per-tube frame losses are
+                # written into the frame-keyed 2D hardness dict
+                # (engine_pretrain.py:133-146) — NOT the 2D batch's names
+                spl_state.update_from_volume_losses(
+                    list(zip(*fpaths)), metrics["frame_losses"],
+                    model.t_patch_size)
+                meter.update(loss=loss, loss_3d=float(metrics["loss_3d"]),
+                             loss_2d=float(metrics["loss_2d"]),
+                             grad_norm=float(metrics["grad_norm"]))
+
+            pending = None  # one-step-deep pipeline: (metrics, fpaths)
             for it, (vols, fpaths, _) in enumerate(
                     meter.log_every(ld3, 10, f"Epoch [{epoch}]", logger=log)):
                 if args.steps_per_epoch and it >= args.steps_per_epoch:
@@ -274,22 +300,11 @@ def main(argv=None):
                 state, metrics = step_fn(
                     state, b3, mask_ratio=cfg.mask_ratio, batch2d=b2,
                     mask_ratio_2d=round(mask2d, 4))
-                loss = float(metrics["loss"])
-                if not np.isfinite(loss):
-                    # delete recent checkpoints so a resume restarts from a
-                    # pre-divergence state (engine_pretrain.py:153-161)
-                    deleted = ckpt_lib.delete_recent_checkpoints(ckpt_dir, 2)
-                    log.info(f"removed checkpoints {deleted} after NaN")
-                    raise RuntimeError(f"Loss is {loss}, stopping training")
-                # SPL hardness: the 3D batch's per-tube frame losses are
-                # written into the frame-keyed 2D hardness dict
-                # (engine_pretrain.py:133-146) — NOT the 2D batch's names
-                spl_state.update_from_volume_losses(
-                    list(zip(*fpaths)), metrics["frame_losses"],
-                    model.t_patch_size)
-                meter.update(loss=loss, loss_3d=float(metrics["loss_3d"]),
-                             loss_2d=float(metrics["loss_2d"]),
-                             grad_norm=float(metrics["grad_norm"]))
+                if pending is not None:
+                    consume(*pending)
+                pending = (metrics, fpaths)
+            if pending is not None:
+                consume(*pending)
             k = schedules.spl_k_schedule(epoch, cfg.spl_k_max, cfg.spl_k_min,
                                          cfg.epochs, cfg.warmup_epochs)
             spl_state.update_spl(k)

@@ -281,6 +281,7 @@ def main(argv=None):
             ld.set_epoch(epoch)
             meter = MetricLogger()
             tput = Throughput()
+            pending = None  # one-step-deep dispatch pipeline
             for items in meter.log_every(ld, 10, f"Epoch [{epoch}]", logger=log):
                 b = to_batch(items)
                 if accum > 1:
@@ -292,8 +293,15 @@ def main(argv=None):
                 else:
                     b = {k: shard_batch(v, mesh) for k, v in b.items()}
                 state, m = step_fn(state, b)
-                meter.update(loss=float(m["loss"]))
+                # read step t-1's loss after dispatching step t: the
+                # float() is the sync point, so batch prep (multimodal
+                # decode + collate) overlaps the device step
+                if pending is not None:
+                    meter.update(loss=float(pending["loss"]))
+                pending = m
                 tput.update(batch * accum)
+            if pending is not None:
+                meter.update(loss=float(pending["loss"]))
             metrics = eval_epoch(epoch)
             if (epoch + 1) % cfg.save_frequency == 0:
                 ckpt_lib.save_checkpoint(ckpt_dir, epoch, state,

@@ -128,11 +128,48 @@ def test_exact_online_softmax_kernel():
                                    atol=2e-3, rtol=2e-3)
 
 
+@pytest.mark.parametrize("n,h", [(257, 4), (256, 4), (200, 4), (385, 8)])
+def test_packed_kernel_matches_naive(n, h):
+    """The REAL packed kernels (h % G == 0, G = 128/d = 4): in-kernel
+    cls KEY/VALUE fold + XLA cls query row at n%128==1, phantom-cls
+    pad-correction otherwise; fwd+grads must match naive attention.
+    (The old packed test used h=2, which silently exercised only the
+    [B,H,N,D] fallback.)"""
+    from octcubem_tpu.ops.flash_attention import flash_attention_packed
+
+    b, d = 1, 32
+    q, k, v = _rand_qkv(jax.random.key(33), b, h, n, d)
+
+    def packed(x):
+        return x.transpose(0, 2, 1, 3).reshape(b, n, h * d)
+
+    def unpack(x):
+        return x.reshape(b, n, h, d).transpose(0, 2, 1, 3)
+
+    out = unpack(flash_attention_packed(packed(q), packed(k), packed(v), h))
+    ref = naive_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-5, rtol=5e-5)
+
+    def loss_packed(q, k, v):
+        return (flash_attention_packed(packed(q), packed(k), packed(v), h)
+                .astype(jnp.float32) ** 2).sum()
+
+    def loss_naive(q, k, v):
+        return (naive_attention(q, k, v).astype(jnp.float32) ** 2).sum()
+
+    gf = jax.grad(loss_packed, argnums=(0, 1, 2))(q, k, v)
+    gn = jax.grad(loss_naive, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gn):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=5e-4, rtol=5e-4)
+
+
 @pytest.mark.parametrize("n", [257, 256, 200])
 def test_packed_layout_matches_naive(n):
-    """flash_attention_packed ([B, N, H*D], no transposes): cls split at
-    n%128==1, phantom-cls pad-correction otherwise; fwd+grads must match
-    naive attention."""
+    """flash_attention_packed ([B, N, H*D], no transposes) through the
+    h % G != 0 FALLBACK ([B,H,N,D] path): fwd+grads must match naive
+    attention."""
     from octcubem_tpu.ops.flash_attention import flash_attention_packed
 
     b, h, d = 1, 2, 32
