@@ -49,6 +49,17 @@ class Loader:
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
+        # propagate to the dataset (and through subset views) so per-item
+        # augmentation rngs vary across epochs — the reference's torch
+        # transforms redraw every epoch; a dataset whose rng is seeded by
+        # (seed, idx) alone would repeat the identical crop/flip forever
+        ds = self.dataset
+        seen = 0
+        while ds is not None and seen < 8:
+            if hasattr(ds, "epoch"):
+                ds.epoch = epoch
+            ds = getattr(ds, "dataset", None)
+            seen += 1
 
     def _indices(self) -> np.ndarray:
         n = len(self.dataset)

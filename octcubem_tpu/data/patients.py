@@ -237,13 +237,15 @@ class PatientDataset3D:
     high_res_transform: Callable | None = None
     high_res_max_frames: int | None = None
     seed: int = 0
+    epoch: int = 0  # set by Loader.set_epoch; varies augmentation per epoch
 
     def __len__(self):
         return len(self.visits)
 
     def __getitem__(self, idx: int):
         v = self.visits[idx]
-        rng = np.random.default_rng((self.seed, idx, len(self.visits)))
+        rng = np.random.default_rng(
+            (self.seed, self.epoch, idx, len(self.visits)))
         if self.dataset_mode == "frame":
             vol = ingest.load_frame_stack(v.frames, self.mode,
                                           self.downsample_width)
@@ -297,6 +299,7 @@ class ImageFolderDataset:
     transform: Callable | None = None
     mode: str = "rgb"
     seed: int = 0
+    epoch: int = 0
 
     def __post_init__(self):
         self.classes = sorted(
@@ -322,7 +325,8 @@ class ImageFolderDataset:
         if arr.ndim == 2:
             arr = arr[..., None]
         if self.transform is not None:
-            arr = self.transform(arr, rng=np.random.default_rng((self.seed, i)))
+            arr = self.transform(
+                arr, rng=np.random.default_rng((self.seed, self.epoch, i)))
         return arr, np.int64(label)
 
 
@@ -383,13 +387,14 @@ class PatientDatasetCenter2D:
     downsample_width: bool = True
     return_path: bool = False
     seed: int = 0
+    epoch: int = 0
 
     def __len__(self):
         return len(self.visits)
 
     def __getitem__(self, idx: int):
         v = self.visits[idx]
-        rng = np.random.default_rng((self.seed, idx))
+        rng = np.random.default_rng((self.seed, self.epoch, idx))
         center = v.frames[len(v.frames) // 2]
         img = ingest.load_frame_stack([center], self.mode,
                                       self.downsample_width)[0]

@@ -109,6 +109,7 @@ class Pretrain2DDataset:
         self.train = train
         self.downsample_width = downsample_width
         self.seed = seed
+        self.epoch = 0  # set by Loader.set_epoch
         self.entries: list[tuple[str, str]] = []  # (kind, path)
         for v in visits or []:
             # ALL frames of every visit (get_all_image_list_and_dict,
@@ -145,7 +146,7 @@ class Pretrain2DDataset:
         img = self._load(kind, path)  # [H, W] in [0, 1]
         h, w = img.shape
         if self.train:
-            rng = np.random.default_rng((self.seed, i))
+            rng = np.random.default_rng((self.seed, self.epoch, i))
             area = h * w * rng.uniform(*self.scale)
             side = np.sqrt(area)
             ch, cw = min(h, int(round(side))), min(w, int(round(side)))

@@ -231,3 +231,50 @@ def test_patient_dataset_dicom_topcon(tmp_path):
     x, y = ds[0]
     assert x.shape == (4, 16, 16, 1)
     assert np.isfinite(x).all() and x.min() >= 0.0
+
+
+def test_augmentation_varies_across_epochs(tmp_path):
+    """Loader.set_epoch threads the epoch into per-item augmentation
+    rngs (through subset views too): the same item must get a different
+    random crop/flip each epoch — the reference's torch transforms
+    redraw every epoch."""
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    d = tmp_path / "p0" / "v0"
+    os.makedirs(d)
+    for t in range(4):
+        arr = (rng.random((48, 48)) * 255).astype(np.uint8)
+        Image.fromarray(arr, "L").save(str(d / f"oct_{t:03d}.png"))
+    visits = patients.scan_directory(str(tmp_path))
+    tr, _ = transforms.create_3d_transforms(input_size=16, num_frames=4,
+                                            RandFlipd_prob=0.5)
+    ds = patients.PatientDataset3D(visits, lambda v: np.int64(0),
+                                   max_frames=4, transform=tr)
+    ld = loader.Loader(ds, 1, shuffle=False, num_workers=1)
+    ld.set_epoch(0)
+    (x0, _), = list(ld)
+    # the 3D train transform's randomness is two flips (4 outcomes) —
+    # check across several epochs that at least one draw differs
+    diffs = []
+    for e in range(1, 7):
+        ld.set_epoch(e)
+        (xe, _), = list(ld)
+        diffs.append(not np.allclose(x0, xe))
+    assert any(diffs), "augmentations identical across epochs 0-6"
+    ld.set_epoch(0)
+    (x0b, _), = list(ld)
+    np.testing.assert_allclose(x0, x0b)  # still deterministic per epoch
+
+    # through an SPL subset view
+    from octcubem_tpu.data import spl as spl_lib
+
+    ds2 = spl_lib.Pretrain2DDataset(visits=visits, size=16)
+    state = spl_lib.SPLState(ds2.names)
+    sub = state.subset(ds2)
+    ld2 = loader.Loader(sub, 1, shuffle=False, num_workers=1)
+    ld2.set_epoch(0)
+    first0 = next(iter(ld2))[0]
+    ld2.set_epoch(3)
+    first3 = next(iter(ld2))[0]
+    assert not np.allclose(first0, first3)
