@@ -77,7 +77,7 @@ def run_fold(cfg, model, datasets, log, fold_tag=""):
         make_finetune_train_step, make_predict_step, BestTracker, evaluate,
         write_metric_csvs, write_confusion_matrices)
     from ..train.mae_engine import shard_batch
-    from ..utils.logging import MetricLogger, JsonlLogger
+    from ..utils.logging import MetricLogger, JsonlLogger, TBWriter
 
     ds_train, ds_val, ds_test = datasets
     mesh = meshlib.make_mesh(n_data=cfg.n_data, n_fsdp=cfg.n_fsdp)
@@ -127,6 +127,8 @@ def run_fold(cfg, model, datasets, log, fold_tag=""):
     predict = make_predict_step(model)
     tracker = BestTracker(patience=cfg.early_stop_patience)
     jsonl = JsonlLogger(cfg.output_dir, f"log{fold_tag}.txt")
+    # epoch_1000x-convention TensorBoard scalars (engine_finetune.py:471-477)
+    tb = TBWriter(os.path.join(cfg.output_dir, f"tb{fold_tag}"))
     ckpt_dir = os.path.join(cfg.output_dir, f"ckpt{fold_tag}")
 
     def eval_batches(ld):
@@ -186,6 +188,10 @@ def run_fold(cfg, model, datasets, log, fold_tag=""):
                                          cfg.output_dir, f"test{fold_tag}")
                 record["test_auc"] = test_metrics.get("roc", {}).get("macro")
             jsonl.write(record)
+            tb.scalar("train_loss", record["train_loss"], epoch + 1)
+            if record.get("val_auc") is not None:
+                tb.scalar("val_auc", record["val_auc"], epoch + 1)
+            tb.flush()
             log.info(f"epoch {epoch}: {record}")
             if tracker.should_stop:
                 log.info(f"early stop at epoch {epoch}")

@@ -93,7 +93,8 @@ def main(argv=None):
     from ..train import optim, schedules
     from ..train.train_state import TrainState
     from ..train.mae_engine import make_mae_train_step, shard_batch
-    from ..utils.logging import MetricLogger, JsonlLogger, get_logger
+    from ..utils.logging import (MetricLogger, JsonlLogger, get_logger,
+                                 TBWriter)
 
     overrides = {k: v for k, v in (
         ("epochs", args.epochs), ("batch_size", args.batch_size),
@@ -218,6 +219,7 @@ def main(argv=None):
                                   use_premask=cfg.use_premask,
                                   accum_iter=accum)
     jsonl = JsonlLogger(cfg.output_dir)
+    tb = TBWriter(os.path.join(cfg.output_dir, 'tb'))
 
     if args.eval_only:
         # reconstruction eval with image dumps (engine_pretrain.py:282-338)
@@ -253,7 +255,7 @@ def main(argv=None):
             meter = MetricLogger()
             t0 = time.time()
 
-            def consume(metrics, fpaths):
+            def consume(metrics, fpaths, it):
                 # host-side reads of a PREVIOUS step's results: loss
                 # finiteness, SPL hardness, meters.  Deferring these one
                 # step double-buffers dispatch — the loader/premask/SPL
@@ -276,6 +278,8 @@ def main(argv=None):
                 meter.update(loss=loss, loss_3d=float(metrics["loss_3d"]),
                              loss_2d=float(metrics["loss_2d"]),
                              grad_norm=float(metrics["grad_norm"]))
+                # epoch_1000x pseudo-step (engine_pretrain.py:177-198)
+                tb.scalar("train_loss", loss, epoch + it / steps_per_epoch)
 
             pending = None  # one-step-deep pipeline: (metrics, fpaths)
             for it, (vols, fpaths, _) in enumerate(
@@ -302,7 +306,7 @@ def main(argv=None):
                     mask_ratio_2d=round(mask2d, 4))
                 if pending is not None:
                     consume(*pending)
-                pending = (metrics, fpaths)
+                pending = (metrics, fpaths, it)
             if pending is not None:
                 consume(*pending)
             k = schedules.spl_k_schedule(epoch, cfg.spl_k_max, cfg.spl_k_min,
@@ -316,6 +320,9 @@ def main(argv=None):
                          "lr": float(sched(state.step)),
                          "epoch_time_s": time.time() - t0,
                          "spl_k": k, "mask_ratio_2d": mask2d})
+            tb.scalar("lr", float(sched(state.step)), epoch + 1)
+            tb.scalar("spl_k", k, epoch + 1)
+            tb.flush()
             log.info(f"epoch {epoch} done: {meter}")
     log.info("pretraining complete")
     return state

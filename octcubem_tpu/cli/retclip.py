@@ -108,7 +108,8 @@ def main(argv=None):
     from ..train import optim, schedules, clip_engine
     from ..train.train_state import TrainState
     from ..train.mae_engine import shard_batch
-    from ..utils.logging import MetricLogger, JsonlLogger, get_logger, Throughput
+    from ..utils.logging import (MetricLogger, JsonlLogger, get_logger,
+                                 Throughput, TBWriter)
 
     overrides = {k: v for k, v in (
         ("epochs", args.epochs), ("batch_size", args.batch_size),
@@ -254,6 +255,8 @@ def main(argv=None):
         step_fn = clip_engine.make_clip_train_step(model, tx,
                                                    three_mod=three_mod)
     jsonl = JsonlLogger(cfg.output_dir, "results.jsonl")
+    # --report-to tensorboard equivalent (main_retclip.py:283-308)
+    tb = TBWriter(os.path.join(cfg.output_dir, "tb"))
 
     def eval_epoch(epoch):
         batches = [to_batch(b) for b in ld_eval]
@@ -307,6 +310,12 @@ def main(argv=None):
                 ckpt_lib.save_checkpoint(ckpt_dir, epoch, state,
                                          {"epoch": epoch},
                                          keep_last=cfg.keep_last)
+            tb.scalar("train_loss", meter.meters["loss"].global_avg,
+                      epoch + 1)
+            for mk, mv in metrics.items():
+                if isinstance(mv, (int, float)):
+                    tb.scalar(mk, mv, epoch + 1)
+            tb.flush()
             log.info(f"epoch {epoch}: loss {meter.meters['loss'].global_avg:.4f} "
                      f"{tput.rate:.1f} samples/s "
                      f"R@1 {metrics.get('image_to_enface_R@1', metrics.get('image_to_enface1_R@1', 0)):.3f}")
