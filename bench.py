@@ -89,7 +89,10 @@ def main():
                                 mask_ratio=MASK_RATIO)
     )(jax.random.key(1), x)
     sched = schedules.warmup_half_cosine(1.6e-3, 0.0, 1, 50, 1000)
-    tx = optim.build_adamw(params, sched, weight_decay=0.05)
+    # BENCH_MU=bf16 stores the Adam first moment in bf16 (halves mu HBM
+    # traffic in the update step); default fp32 = reference semantics
+    mu = jnp.bfloat16 if os.environ.get("BENCH_MU") == "bf16" else None
+    tx = optim.build_adamw(params, sched, weight_decay=0.05, mu_dtype=mu)
     state = TrainState.create(params, tx, jax.random.key(2))
 
     step = make_mae_train_step(model, tx, joint=False)

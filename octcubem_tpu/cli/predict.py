@@ -86,13 +86,8 @@ def main(argv=None):
     tput = Throughput()
     rows = []
     embeddings = []
-    for batch in ld:
-        vols, pids, _ = batch
-        x = jnp.asarray(vols)
-        if x.shape[0] < args.batch_size:  # pad the tail batch (static jit)
-            pad = args.batch_size - x.shape[0]
-            x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:])], 0)
-        logits, emb = predict(params, x)
+
+    def consume(logits, emb, pids):
         # bf16 -> f32 on host (ml_dtypes scalars don't support float
         # formatting, and softmax in f32 is cheap here)
         logits = np.asarray(logits).astype(np.float32)
@@ -103,6 +98,24 @@ def main(argv=None):
             rows.append([pid] + [f"{v:.4f}" for v in p])
         embeddings.append(np.asarray(emb)[: len(pids)])
         tput.update(len(pids))
+        return probs
+
+    # one-batch-deep pipeline: consume batch t-1's device results after
+    # dispatching batch t, so volume loading overlaps TPU compute
+    probs = None
+    pending = None
+    for batch in ld:
+        vols, pids, _ = batch
+        x = jnp.asarray(vols)
+        if x.shape[0] < args.batch_size:  # pad the tail batch (static jit)
+            pad = args.batch_size - x.shape[0]
+            x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:])], 0)
+        logits, emb = predict(params, x)
+        if pending is not None:
+            probs = consume(*pending)
+        pending = (logits, emb, pids)
+    if pending is not None:
+        probs = consume(*pending)
     with open(args.out_csv, "w", newline="") as f:
         w = csv.writer(f)
         names = DISEASES if probs.shape[1] == len(DISEASES) else \

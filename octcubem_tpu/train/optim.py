@@ -80,13 +80,20 @@ def build_adamw(
     layer_decay: float | None = None,
     num_blocks: int | None = None,
     clip_grad: float | None = None,
+    mu_dtype=None,
 ) -> optax.GradientTransformation:
     """AdamW matching the reference pretrain (betas 0.9/0.95) and finetune
-    (layer decay 0.65) configurations."""
+    (layer decay 0.65) configurations.
+
+    mu_dtype: storage dtype for the first moment (e.g. jnp.bfloat16) —
+    halves the mu HBM traffic of the update step.  Default None keeps
+    fp32 (the reference's torch Adam semantics); the second moment stays
+    fp32 regardless (squares need the dynamic range)."""
     txs = []
     if clip_grad is not None:
         txs.append(optax.clip_by_global_norm(clip_grad))
-    txs.append(optax.scale_by_adam(b1=betas[0], b2=betas[1]))
+    txs.append(optax.scale_by_adam(b1=betas[0], b2=betas[1],
+                                   mu_dtype=mu_dtype))
     txs.append(optax.add_decayed_weights(weight_decay, weight_decay_mask(params)))
     if layer_decay is not None and layer_decay != 1.0:
         assert num_blocks is not None

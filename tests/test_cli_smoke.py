@@ -110,3 +110,40 @@ def test_infer_cli_smoke(tmp_path):
                         "--nb_classes", "4"])
     assert probs.shape == (2, 2)
     np.testing.assert_allclose(probs.sum(axis=1), 1.0, rtol=1e-4)
+
+
+def test_predict_cli_smoke(tmp_path):
+    """Batch-inference CLI: PNG patient tree -> predictions CSV +
+    embeddings npz, with the one-batch-deep dispatch pipeline and a
+    padded tail batch (3 volumes, batch 2)."""
+    import numpy as np
+    from PIL import Image
+
+    from octcubem_tpu.cli import predict
+
+    rng = np.random.default_rng(5)
+    data = tmp_path / "vols"
+    for p in range(3):
+        d = data / f"p{p}" / "v0"
+        d.mkdir(parents=True)
+        for t in range(6):
+            arr = (rng.random((40, 40)) * 255).astype(np.uint8)
+            Image.fromarray(arr, "L").save(str(d / f"oct_{t:03d}.png"))
+    out_csv = str(tmp_path / "preds.csv")
+    emb_npz = str(tmp_path / "emb.npz")
+    rows = predict.main([str(data), "--out_csv", out_csv,
+                         "--batch_size", "2", "--num_frames", "6",
+                         "--input_size", "32", "--nb_classes", "4",
+                         "--embed_dim", "32", "--depth", "2",
+                         "--num_heads", "2",
+                         "--dump_embeddings", emb_npz])
+    assert len(rows) == 3
+    assert os.path.exists(out_csv)
+    emb = np.load(emb_npz)
+    assert emb["embeddings"].shape[0] == 3
+    import csv as _csv
+
+    with open(out_csv) as f:
+        r = list(_csv.reader(f))
+    assert len(r) == 4 and r[0][0] == "patient_id"
+    assert all(np.isfinite(float(v)) for v in r[1][1:])
