@@ -140,3 +140,35 @@ def test_classifier_fits_separable_data():
     logits = m.apply(state.params, x)
     acc = float((jnp.argmax(logits, -1) == y).mean())
     assert acc == 1.0, acc
+
+
+def test_mae_bf16_mu_converges_like_fp32():
+    """Opt-in bf16 Adam first moment (build_adamw mu_dtype): the tiny MAE
+    reaches a final loss close to the fp32-mu run — the numerics
+    deviation is benign (second moment stays fp32)."""
+    import jax.numpy as jnp
+
+    m = mae3d.MaskedAutoencoderViT3D(
+        input_size=32, high_res_input_size=64, patch_size=16, in_chans=1,
+        embed_dim=64, depth=2, num_heads=2, decoder_embed_dim=32,
+        decoder_depth=1, decoder_num_heads=2, num_frames=6, t_patch_size=3,
+        pred_t_dim=6, attn_impl="naive")
+    x = jax.random.uniform(jax.random.key(0), (4, 6, 32, 32, 1))
+    params = m.init({"params": jax.random.key(1), "masking": jax.random.key(2)},
+                    x, mask_ratio=0.75)
+
+    def run(mu_dtype):
+        # fresh buffers per run: the train step donates its state
+        p = jax.tree.map(jnp.copy, params)
+        tx = optim.build_adamw(p, 3e-3, mu_dtype=mu_dtype)
+        state = TrainState.create(p, tx, jax.random.key(3))
+        step = make_mae_train_step(m, tx)
+        last = None
+        for _ in range(30):
+            state, metrics = step(state, x, mask_ratio=0.75)
+            last = float(metrics["loss"])
+        return last
+
+    fp32_last = run(None)
+    bf16_last = run(jnp.bfloat16)
+    assert abs(bf16_last - fp32_last) < 0.1 * fp32_last, (fp32_last, bf16_last)
