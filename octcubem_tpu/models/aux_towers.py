@@ -509,20 +509,23 @@ class FocalModulation(nn.Module):
 
 
 class _FocalNetBlock(nn.Module):
-    """Pre-norm modulation + MLP block with optional layerscale
-    (focalnet.py:126-191)."""
+    """Pre-norm modulation + MLP block with optional layerscale and
+    stochastic depth (focalnet.py:126-191)."""
 
     dim: int
     mlp_ratio: float = 4.0
     focal_level: int = 2
     focal_window: int = 3
+    drop_path: float = 0.0
     use_layerscale: bool = False
     layerscale_value: float = 1e-4
     use_postln: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):  # [B, H, W, C]
+    def __call__(self, x, deterministic: bool = True):  # [B, H, W, C]
+        from ..nn.layers import DropPath
+
         g1 = g2 = 1.0
         if self.use_layerscale:
             init = nn.initializers.constant(self.layerscale_value)
@@ -533,13 +536,15 @@ class _FocalNetBlock(nn.Module):
         x = FocalModulation(self.dim, self.focal_window, self.focal_level,
                             use_postln=self.use_postln, dtype=self.dtype,
                             name="modulation")(x)
-        x = shortcut + g1 * x
+        x = shortcut + DropPath(self.drop_path, name="drop_path1")(
+            g1 * x, deterministic)
         y = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32, name="norm2")(x)
         y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
                      name="mlp_fc1")(y)
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(y)
-        return x + g2 * y
+        return x + DropPath(self.drop_path, name="drop_path2")(
+            g2 * y, deterministic)
 
 
 class FocalNet(nn.Module):
@@ -560,6 +565,7 @@ class FocalNet(nn.Module):
     mlp_ratio: float = 4.0
     focal_levels: tuple = (2, 2, 2, 2)
     focal_windows: tuple = (3, 3, 3, 3)
+    drop_path_rate: float = 0.0
     use_conv_embed: bool = False
     use_layerscale: bool = False
     use_postln: bool = False
@@ -587,15 +593,21 @@ class FocalNet(nn.Module):
             return y
 
         x = embed(x, self.embed_dim, True, "patch_embed")
+        total = sum(self.depths)
+        done = 0
         for i, depth in enumerate(self.depths):
             dim = self.embed_dim * 2 ** i
             for j in range(depth):
+                # linear stochastic-depth decay over all blocks
+                # (focalnet.py:429-430)
+                dp = (self.drop_path_rate * (done + j) / max(1, total - 1))
                 x = _FocalNetBlock(
                     dim, self.mlp_ratio, self.focal_levels[i],
-                    self.focal_windows[i],
+                    self.focal_windows[i], drop_path=dp,
                     use_layerscale=self.use_layerscale,
                     use_postln=self.use_postln, dtype=self.dtype,
-                    name=f"layers_{i}_blocks_{j}")(x)
+                    name=f"layers_{i}_blocks_{j}")(x, deterministic)
+            done += depth
             if i < len(self.depths) - 1:
                 x = embed(x, dim * 2, False, f"downsample_{i}")
         x = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32, name="norm")(x)
@@ -612,42 +624,42 @@ def focalnet_tiny_srf(**kw) -> FocalNet:
     """focalnet.py:551-567."""
     return _focalnet_variant(kw, depths=(2, 2, 6, 2),
                              focal_levels=(2, 2, 2, 2), embed_dim=96,
-                             use_layerscale=True)
+                             drop_path_rate=0.2, use_layerscale=True)
 
 
 def focalnet_small_srf(**kw) -> FocalNet:
     """focalnet.py:569-585."""
     return _focalnet_variant(kw, depths=(2, 2, 18, 2),
                              focal_levels=(2, 2, 2, 2), embed_dim=96,
-                             use_layerscale=True)
+                             drop_path_rate=0.3, use_layerscale=True)
 
 
 def focalnet_base_srf(**kw) -> FocalNet:
     """focalnet.py:587-603."""
     return _focalnet_variant(kw, depths=(2, 2, 18, 2),
                              focal_levels=(2, 2, 2, 2), embed_dim=128,
-                             use_layerscale=True)
+                             drop_path_rate=0.5, use_layerscale=True)
 
 
 def focalnet_tiny_lrf(**kw) -> FocalNet:
     """focalnet.py:605-621 (large receptive field: 3 focal levels)."""
     return _focalnet_variant(kw, depths=(2, 2, 6, 2),
                              focal_levels=(3, 3, 3, 3), embed_dim=96,
-                             use_layerscale=True)
+                             drop_path_rate=0.2, use_layerscale=True)
 
 
 def focalnet_small_lrf(**kw) -> FocalNet:
     """focalnet.py:623-639."""
     return _focalnet_variant(kw, depths=(2, 2, 18, 2),
                              focal_levels=(3, 3, 3, 3), embed_dim=96,
-                             use_layerscale=True)
+                             drop_path_rate=0.3, use_layerscale=True)
 
 
 def focalnet_base_lrf(**kw) -> FocalNet:
     """focalnet.py:641-657."""
     return _focalnet_variant(kw, depths=(2, 2, 18, 2),
                              focal_levels=(3, 3, 3, 3), embed_dim=128,
-                             use_layerscale=True)
+                             drop_path_rate=0.5, use_layerscale=True)
 
 
 class HFTextTower(nn.Module):
