@@ -167,10 +167,20 @@ class PairedOCTEnfaceDataset:
 
     def _load_volume(self, r: PairedRecord, i: int) -> np.ndarray:
         v = r.visit
-        if v.frames[0].endswith(".npy"):
-            vol = ingest.load_npy_volume(v.frames[0])
-        elif v.frames[0].endswith(".dcm"):
-            vol, _, _ = ingest.load_dicom_volume(v.frames[0])
+        first = v.frames[0]
+        if os.path.isdir(first):
+            # manifest rows may point at a visit DIRECTORY of PNG frames
+            # (build_ga_manifest convention for frame-stack visits)
+            import glob
+
+            frames = sorted(glob.glob(os.path.join(first, "oct_*.png")))
+            vol = ingest.load_frame_stack(frames)
+        elif first.endswith(".npy"):
+            vol = ingest.load_npy_volume(first)
+        elif first.endswith(".dcm"):
+            vol, _, _ = ingest.load_dicom_volume(first)
+        elif first.endswith(".mhd"):
+            vol = ingest.load_mhd_volume(first)
         else:
             vol = ingest.load_frame_stack(v.frames)
         if self.aspect_aware:
@@ -314,3 +324,84 @@ def collate_paired(samples: list[dict]) -> tuple[dict, list[str]]:
     batch = {k: np.stack([s[k] for s in samples])
              for k in samples[0] if k != "__key__"}
     return batch, keys
+
+
+def build_ga_manifest(parent_dir: str, out_csv: str,
+                      labels_csv: str | None = None,
+                      label_keys: list[str] | None = None,
+                      n_splits: int = 5, seed: int = 0) -> int:
+    """Walk a GA-study tree into the manifest CSV OCTFAFIRClsDataset
+    consumes — the framework-side equivalent of the reference's
+    dataset_management.py (oph_dataset index building + per-study split
+    assignment, dataset_management.py:27-232; its S3/boto3 download
+    plumbing and study-specific column cleanup are infrastructure, not
+    framework, and are intentionally out of scope).
+
+    Layout per visit dir (same convention as scan_paired_directory):
+    oct frames (oct_*.png | *.npy | *.dcm | *.mhd), ir.png, faf.png.
+    Optional labels_csv keyed by patient_id (and optionally visit_id)
+    contributes the label columns; `split1` holds a patient-level
+    n_splits-fold assignment (all of a patient's visits share a fold).
+    Returns the number of manifest rows written.
+    """
+    import csv
+    import glob
+
+    from .patients import scan_directory
+
+    visits = scan_directory(parent_dir, "oct_*.png")
+    rows = []
+    for v in visits:
+        d = os.path.dirname(v.frames[0])
+        oct_path = v.frames[0]
+        if not oct_path.endswith(".png"):
+            # single-file volumes (npy/dcm/mhd) come back as one entry
+            others = (glob.glob(os.path.join(d, "*.npy"))
+                      + glob.glob(os.path.join(d, "*.dcm"))
+                      + glob.glob(os.path.join(d, "*.mhd")))
+            oct_path = others[0] if others else oct_path
+        ir = os.path.join(d, "ir.png")
+        faf = os.path.join(d, "faf.png")
+        rows.append({
+            "patient_id": v.patient_id, "visit_id": v.visit_id,
+            "oct_file_path": os.path.relpath(d, parent_dir),
+            "ir_file_path": (os.path.relpath(ir, parent_dir)
+                             if os.path.isfile(ir) else ""),
+            "faf_file_path": (os.path.relpath(faf, parent_dir)
+                              if os.path.isfile(faf) else ""),
+        })
+
+    label_cols: list[str] = []
+    if labels_csv:
+        with open(labels_csv) as f:
+            lab_rows = list(csv.DictReader(f))
+        label_cols = label_keys or [
+            c for c in lab_rows[0] if c not in ("patient_id", "visit_id")]
+        by_pid = {}
+        for r in lab_rows:
+            key = (str(r["patient_id"]), str(r.get("visit_id", "")))
+            by_pid[key] = r
+            by_pid.setdefault((str(r["patient_id"]), ""), r)
+        rows = [dict(row, **{
+            k: by_pid.get((row["patient_id"], row["visit_id"]),
+                          by_pid.get((row["patient_id"], ""), {})).get(k, "")
+            for k in label_cols}) for row in rows]
+        rows = [r for r in rows if all(r[k] != "" for k in label_cols)]
+
+    # patient-level fold assignment
+    pids = sorted({r["patient_id"] for r in rows})
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(len(pids))
+    fold_of = {pids[i]: int(j % n_splits)
+               for j, i in enumerate(order)}
+    for r in rows:
+        r["split1"] = fold_of[r["patient_id"]]
+
+    fieldnames = ["patient_id", "visit_id", "oct_file_path",
+                  "ir_file_path", "faf_file_path"] + label_cols + ["split1"]
+    os.makedirs(os.path.dirname(os.path.abspath(out_csv)), exist_ok=True)
+    with open(out_csv, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=fieldnames)
+        w.writeheader()
+        w.writerows(rows)
+    return len(rows)

@@ -247,3 +247,44 @@ def test_bscan_coverage_geometry():
     assert ps == []  # only 8px < half a patch
     ps = horizontal_line_patches(0, 9, 0, patch_size=16, coverage=0.5)
     assert (0, 0) in ps
+
+
+def test_build_ga_manifest_roundtrip(tmp_path):
+    """build_ga_manifest (dataset_management.py equivalent): walk a study
+    tree of PNG-stack visits + ir/faf pairs + labels CSV into the
+    manifest the cls dataset consumes; PNG-stack rows point at the visit
+    directory and load through _load_volume's directory branch."""
+    from PIL import Image
+
+    from octcubem_tpu.data.multimodal import (OCTFAFIRClsDataset,
+                                              build_ga_manifest)
+
+    rng = np.random.default_rng(0)
+    study = tmp_path / "study"
+    for p in range(4):
+        d = study / f"p{p}" / "v0"
+        d.mkdir(parents=True)
+        for t in range(4):
+            Image.fromarray((rng.random((16, 16)) * 255).astype(
+                np.uint8), "L").save(str(d / f"oct_{t:03d}.png"))
+        Image.fromarray((rng.random((16, 16, 3)) * 255).astype(
+            np.uint8)).save(str(d / "faf.png"))
+        Image.fromarray((rng.random((16, 16, 3)) * 255).astype(
+            np.uint8)).save(str(d / "ir.png"))
+    labels = tmp_path / "labels.csv"
+    labels.write_text("patient_id,ga_growth\n"
+                      + "\n".join(f"p{p},{1.0 + p}" for p in range(4)))
+    out_csv = str(tmp_path / "manifest.csv")
+    n = build_ga_manifest(str(study), out_csv, labels_csv=str(labels),
+                          n_splits=2)
+    assert n == 4
+
+    ds = OCTFAFIRClsDataset(out_csv, parent_dir=str(study), mode=9,
+                            label_keys=["ga_growth"], num_frames=4,
+                            oct_size=16, enface_size=16)
+    assert len(ds) == 4
+    s = ds[0]
+    assert s["image"].shape == (4, 16, 16, 1)
+    assert np.isfinite(s["label"]).all()
+    # patient-level 2-fold split covers both folds
+    assert sorted(ds.available_split) == [0, 1]
