@@ -109,3 +109,23 @@ def test_clip_pair_gradcam():
                                          grid=(2, 2))
     assert cam_enf.shape == (1, 2, 2)
     assert np.isfinite(cam_enf).all()
+
+
+def test_pretrained_registry():
+    """Released-checkpoint registry (open_clip/pretrained.py equivalent):
+    entries resolve against a local ckpt dir and describe their import
+    recipe."""
+    import os
+
+    from octcubem_tpu.compat import pretrained
+
+    assert "octcube" in pretrained.REGISTRY
+    assert "octcube_multitask_cls" in pretrained.REGISTRY
+    text = pretrained.describe()
+    assert "OCTCube.pth" in text and "RETFound" in text
+    assert pretrained.locate("octcube", ckpt_dir="/nonexistent") is None
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        open(os.path.join(d, "OCTCube.pth"), "w").close()
+        assert pretrained.locate("octcube", ckpt_dir=d) is not None
