@@ -615,6 +615,156 @@ def _flash_bh_cls_fwd(q, k, v, kc, vc, scale, block):
 _flash_bh_cls.defvjp(_flash_bh_cls_fwd, _bwd_cls)
 
 
+# ------------------------------------------------- rectangular (nq != nk)
+#
+# The kernels are length-agnostic (tiles are BlockSpec-indexed and the
+# kv-pad corrections key on n_valid); only the square wrappers couple the
+# q and kv lengths through one shared n_pad.  These wrappers pad each
+# side to its own block multiple — the form sequence parallelism needs
+# (each shard's queries attend over the full gathered key/value set).
+
+def _fwd_rect(q, k, v, scale, block_q, block_k, no_max: bool = True):
+    bh, nq, d = q.shape
+    nk = k.shape[1]
+    nq_pad = _round_up(nq, block_q)
+    nk_pad = _round_up(nk, block_k)
+    if nq_pad - nq:
+        q = jnp.pad(q, ((0, 0), (0, nq_pad - nq), (0, 0)))
+    if nk_pad - nk:
+        zp = ((0, 0), (0, nk_pad - nk), (0, 0))
+        k, v = jnp.pad(k, zp), jnp.pad(v, zp)
+
+    if no_max:
+        kernel = functools.partial(_fwd_kernel_nomax, scale=scale,
+                                   n_valid=nk, block_k=block_k,
+                                   n_pad=nk_pad)
+        scratch = [
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+        ]
+    else:
+        kernel = functools.partial(_fwd_kernel, scale=scale, n_valid=nk,
+                                   block_k=block_k)
+        scratch = [
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+        ]
+
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=(bh, nq_pad // block_q, nk_pad // block_k),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, nq_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, nq_pad, 1), jnp.float32),
+        ],
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=_use_interpret(),
+    )(q, k, v)
+    return out[:, :nq], lse[:, :nq, 0]
+
+
+def _bwd_rect(scale, block_q, block_k, no_max, res, g):
+    q, k, v, out, lse = res
+    g, g_lse = g
+    bh, nq, d = q.shape
+    nk = k.shape[1]
+    block_q = _pick_block(nq, BWD_BLOCK_TARGET)
+    block_k = _pick_block(nk, BWD_BLOCK_TARGET)
+    delta = (jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
+                     axis=-1)
+             - g_lse.astype(jnp.float32))
+
+    nq_pad = _round_up(nq, block_q)
+    nk_pad = _round_up(nk, block_k)
+    if nq_pad - nq:
+        zq = ((0, 0), (0, nq_pad - nq), (0, 0))
+        q, g = jnp.pad(q, zq), jnp.pad(g, zq)
+        lse = jnp.pad(lse, ((0, 0), (0, nq_pad - nq)))
+        delta = jnp.pad(delta, ((0, 0), (0, nq_pad - nq)))
+    if nk_pad - nk:
+        zk = ((0, 0), (0, nk_pad - nk), (0, 0))
+        k, v = jnp.pad(k, zk), jnp.pad(v, zk)
+    lse = lse[..., None]
+    delta = delta[..., None]
+
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_fused_bwd_kernel, scale=scale, n_valid=nk,
+                          block_q=block_q, block_k=block_k, no_max=no_max),
+        grid=(bh, nk_pad // block_k, nq_pad // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, j, i: (b, i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, nq_pad, d), lambda b, j, i: (b, 0, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, nq_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, nk_pad, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, nk_pad, d), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((nq_pad, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=_use_interpret(),
+    )(q, k, v, g, lse, delta)
+    return dq[:, :nq], dk[:, :nk], dv[:, :nk]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash_bh_rect(q, k, v, scale, block_q, block_k, no_max):
+    return _fwd_rect(q, k, v, scale, block_q, block_k, no_max)
+
+
+def _flash_bh_rect_fwd(q, k, v, scale, block_q, block_k, no_max):
+    out, lse = _fwd_rect(q, k, v, scale, block_q, block_k, no_max)
+    return (out, lse), (q, k, v, out, lse)
+
+
+_flash_bh_rect.defvjp(_flash_bh_rect_fwd, _bwd_rect)
+
+
+def flash_attention_rect(q, k, v, scale: float | None = None,
+                         no_max: bool = True):
+    """Cross-attention-shaped flash: q [B, H, Nq, D] against k/v
+    [B, H, Nk, D] with Nq != Nk allowed.  Differentiable.  This is the
+    core the sequence-parallel wrapper shards (parallel/sequence.py):
+    each query shard attends over the full key/value set."""
+    b, h, nq, d = q.shape
+    nk = k.shape[2]
+    if scale is None:
+        scale = d ** -0.5
+    block_q = _pick_block(nq, FWD_BLOCK_TARGET)
+    block_k = _pick_block(nk, FWD_BLOCK_TARGET)
+    out, _ = _flash_bh_rect(q.reshape(b * h, nq, d),
+                            k.reshape(b * h, nk, d),
+                            v.reshape(b * h, nk, d),
+                            float(scale), block_q, block_k, bool(no_max))
+    return out.reshape(b, h, nq, d)
+
+
 # ---------------------------------------------------------------- public op
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))

@@ -1,0 +1,64 @@
+"""Sequence parallelism for long-token attention.
+
+The reference has no sequence/context parallelism (SURVEY §2.9/§5.7:
+flash attention + 90% masking keep the 5k-20k-token sequences on one
+device); this is the TPU-native headroom SURVEY §5.7 marks optional —
+for multi-chip training at the 512² high-res grid (20k+ tokens) or
+longer volumes, attention itself can shard over the sequence.
+
+Design (the non-causal full-attention case): queries shard over an
+``sp`` mesh axis; each shard all-gathers the key/value set over ICI and
+runs the rectangular flash kernel on its query slice.  Under jax
+autodiff the all_gather's transpose is a psum_scatter, so the backward
+reduce-scatters dk/dv across shards automatically — no hand-written
+collective backward.  Memory per chip: O(N/sp) activations for q/out
+and O(N) for the gathered k/v (transient); score memory stays O(block²)
+in the kernel.  A ring schedule (ppermute with per-step kernel calls)
+would also bound k/v memory at O(N/sp) but serializes sp kernel launches;
+at the model's token counts the gather fits comfortably, so the simpler
+all-gather form is used.
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.flash_attention import flash_attention_rect
+
+try:  # jax>=0.4.35 moved shard_map out of experimental
+    from jax.sharding import shard_map  # type: ignore
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+
+def sequence_parallel_attention(q, k, v, mesh: Mesh, axis: str = "sp",
+                                scale: float | None = None,
+                                no_max: bool = True):
+    """q, k, v: [B, H, N, D] with N sharded over ``axis`` -> [B, H, N, D]
+    sharded the same way.  Differentiable; grads of k/v are
+    reduce-scattered back to their shards by the all_gather transpose.
+
+    N must be divisible by the axis size.  The kv gather happens inside
+    shard_map so XLA emits one ICI all-gather per tensor, overlapping
+    with the first kernel tiles where possible.
+    """
+    n = q.shape[2]
+    n_sp = mesh.shape[axis]
+    assert n % n_sp == 0, (n, n_sp)
+
+    def local(ql, kl, vl):
+        kf = jax.lax.all_gather(kl, axis, axis=2, tiled=True)
+        vf = jax.lax.all_gather(vl, axis, axis=2, tiled=True)
+        return flash_attention_rect(ql, kf, vf, scale=scale, no_max=no_max)
+
+    spec = P(None, None, axis, None)
+    return shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
+                     out_specs=spec, check_rep=False)(q, k, v)
+
+
+def shard_sequence(x, mesh: Mesh, axis: str = "sp", dim: int = 2):
+    """Place x with its ``dim`` axis sharded over the mesh ``axis``."""
+    spec = [None] * x.ndim
+    spec[dim] = axis
+    return jax.device_put(x, NamedSharding(mesh, P(*spec)))

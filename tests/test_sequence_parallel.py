@@ -1,0 +1,89 @@
+"""Rectangular flash attention + sequence parallelism.
+
+The reference has no sequence/context parallelism (SURVEY §2.9 table:
+absent; §5.7 marks it optional TPU headroom).  These tests pin (a) the
+rectangular (Nq != Nk) flash kernels against naive attention, fwd and
+grads, and (b) the shard_map sequence-parallel wrapper against the
+unsharded computation on the 8-virtual-device CPU mesh — including the
+automatic reduce-scatter backward for dk/dv.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from tests.test_flash_attention import naive_attention, _rand_qkv
+
+
+def _rand_rect(key, b, h, nq, nk, d):
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, h, nq, d), jnp.float32)
+    k = jax.random.normal(kk, (b, h, nk, d), jnp.float32)
+    v = jax.random.normal(kv, (b, h, nk, d), jnp.float32)
+    return q, k, v
+
+
+@pytest.mark.parametrize("nq,nk", [(100, 260), (256, 256), (64, 513),
+                                   (300, 128)])
+@pytest.mark.parametrize("no_max", [True, False])
+def test_rect_flash_matches_naive(nq, nk, no_max):
+    from octcubem_tpu.ops.flash_attention import flash_attention_rect
+
+    q, k, v = _rand_rect(jax.random.key(0), 1, 2, nq, nk, 32)
+    out = flash_attention_rect(q, k, v, no_max=no_max)
+    ref = naive_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-5, rtol=5e-5)
+
+    def loss_f(q, k, v):
+        return (flash_attention_rect(q, k, v, no_max=no_max)
+                .astype(jnp.float32) ** 2).sum()
+
+    def loss_n(q, k, v):
+        return (naive_attention(q, k, v).astype(jnp.float32) ** 2).sum()
+
+    gf = jax.grad(loss_f, argnums=(0, 1, 2))(q, k, v)
+    gn = jax.grad(loss_n, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gn):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=5e-4, rtol=5e-4)
+
+
+def test_sequence_parallel_matches_unsharded():
+    """8-way sequence-parallel attention == unsharded attention, fwd and
+    grads (all_gather transpose reduce-scatters dk/dv)."""
+    from octcubem_tpu.parallel.sequence import (sequence_parallel_attention,
+                                                shard_sequence)
+    from octcubem_tpu.ops.flash_attention import flash_attention
+
+    devices = jax.devices()
+    assert len(devices) >= 8
+    mesh = Mesh(np.asarray(devices[:8]), ("sp",))
+
+    b, h, n, d = 1, 2, 8 * 48, 32  # N=384 over 8 shards of 48
+    q, k, v = _rand_qkv(jax.random.key(7), b, h, n, d)
+    ref = flash_attention(q, k, v)
+
+    qs = shard_sequence(q, mesh)
+    ks = shard_sequence(k, mesh)
+    vs = shard_sequence(v, mesh)
+    out = sequence_parallel_attention(qs, ks, vs, mesh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-5, rtol=5e-5)
+
+    def loss_sp(q, k, v):
+        return (sequence_parallel_attention(q, k, v, mesh)
+                .astype(jnp.float32) ** 2).sum()
+
+    def loss_ref(q, k, v):
+        return (naive_attention(q, k, v).astype(jnp.float32) ** 2).sum()
+
+    g_sp = jax.jit(jax.grad(loss_sp, argnums=(0, 1, 2)))(qs, ks, vs)
+    g_rf = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_sp, g_rf):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=5e-4, rtol=5e-4)
+    # outputs/grads stay sequence-sharded
+    assert not out.sharding.is_fully_replicated
