@@ -61,5 +61,17 @@ def multi_head_attention_packed(q, k, v, num_heads: int, scale=None,
     def bhnd(x):
         return x.reshape(b, n, num_heads, d).transpose(0, 2, 1, 3)
 
+    if impl == "flash_sp":
+        # sequence-parallel: queries sharded over the context's sp axis,
+        # rectangular flash against the all-gathered k/v
+        # (parallel/sequence.py)
+        from ..parallel.sequence import (current_sp,
+                                         sequence_parallel_attention)
+
+        mesh, axis = current_sp()
+        out = sequence_parallel_attention(bhnd(q), bhnd(k), bhnd(v), mesh,
+                                          axis, scale=scale)
+        return out.transpose(0, 2, 1, 3).reshape(b, n, hd)
+
     out = naive_attention(bhnd(q), bhnd(k), bhnd(v), scale=scale)
     return out.transpose(0, 2, 1, 3).reshape(b, n, hd)

@@ -62,3 +62,40 @@ def shard_sequence(x, mesh: Mesh, axis: str = "sp", dim: int = 2):
     spec = [None] * x.ndim
     spec[dim] = axis
     return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+
+# ---- model integration: attn_impl="flash_sp" -------------------------
+#
+# The attention dispatch (ops/attention.multi_head_attention_packed)
+# reads the active (mesh, axis) from this trace-time context, so models
+# opt in with attn_impl="flash_sp" without threading a Mesh attribute
+# through every module:
+#
+#     with use_sequence_parallel(mesh, "sp"):
+#         step = jax.jit(...)   # traced inside the context
+#
+# Everything around the attention (LN / MLP / projections) partitions
+# token-wise automatically under pjit once the activations are sharded
+# over the sequence axis; only the Pallas kernel needs the explicit
+# shard_map boundary.
+
+import contextlib
+
+_SP_CONTEXT: list[tuple[Mesh, str]] = []
+
+
+@contextlib.contextmanager
+def use_sequence_parallel(mesh: Mesh, axis: str = "sp"):
+    _SP_CONTEXT.append((mesh, axis))
+    try:
+        yield
+    finally:
+        _SP_CONTEXT.pop()
+
+
+def current_sp() -> tuple[Mesh, str]:
+    if not _SP_CONTEXT:
+        raise RuntimeError(
+            "attn_impl='flash_sp' requires an active use_sequence_parallel "
+            "(mesh, axis) context at trace time")
+    return _SP_CONTEXT[-1]

@@ -87,3 +87,57 @@ def test_sequence_parallel_matches_unsharded():
                                    atol=5e-4, rtol=5e-4)
     # outputs/grads stay sequence-sharded
     assert not out.sharding.is_fully_replicated
+
+
+def test_transformer_stack_flash_sp_matches_unsharded():
+    """A full transformer stack with attn_impl='flash_sp' under an
+    8-way sp mesh == the unsharded stack (same params): the attention
+    runs the query-sharded shard_map path while LN/MLP partition
+    token-wise under pjit."""
+    import flax.linen as _  # noqa: F401  (import check)
+
+    from octcubem_tpu.nn.layers import TransformerStack
+    from octcubem_tpu.parallel.sequence import (shard_sequence,
+                                                use_sequence_parallel)
+
+    devices = jax.devices()
+    mesh = Mesh(np.asarray(devices[:8]), ("sp",))
+    b, n, dim, heads = 2, 8 * 16, 64, 2  # N=128 over 8 shards of 16
+
+    x = jax.random.normal(jax.random.key(3), (b, n, dim), jnp.float32)
+    ref_stack = TransformerStack(2, dim, heads, parity="standard",
+                                 attn_impl="naive")
+    params = ref_stack.init(jax.random.key(4), x)
+    ref = ref_stack.apply(params, x)
+
+    sp_stack = TransformerStack(2, dim, heads, parity="standard",
+                                attn_impl="flash_sp")
+    xs = shard_sequence(x, mesh, dim=1)
+    with use_sequence_parallel(mesh, "sp"):
+        out = jax.jit(sp_stack.apply)(params, xs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
+
+    # grads agree too (reduce-scattered dk/dv inside the sp boundary)
+    def loss(p, x):
+        return (sp_stack.apply(p, x).astype(jnp.float32) ** 2).sum()
+
+    def loss_ref(p, x):
+        return (ref_stack.apply(p, x).astype(jnp.float32) ** 2).sum()
+
+    with use_sequence_parallel(mesh, "sp"):
+        g_sp = jax.jit(jax.grad(loss))(params, xs)
+    g_rf = jax.grad(loss_ref)(params, x)
+    flat_sp = jax.tree_util.tree_leaves(g_sp)
+    flat_rf = jax.tree_util.tree_leaves(g_rf)
+    for a, b_ in zip(flat_sp, flat_rf):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-3, rtol=1e-3)
+
+
+def test_flash_sp_requires_context():
+    from octcubem_tpu.ops.attention import multi_head_attention_packed
+
+    q = jnp.ones((1, 16, 64))
+    with pytest.raises(RuntimeError, match="use_sequence_parallel"):
+        multi_head_attention_packed(q, q, q, 2, impl="flash_sp")
