@@ -73,5 +73,15 @@ def multi_head_attention_packed(q, k, v, num_heads: int, scale=None,
                                           axis, scale=scale)
         return out.transpose(0, 2, 1, 3).reshape(b, n, hd)
 
+    if impl == "flash_tp":
+        # head-parallel: the packed minor dim sharded by head groups over
+        # the context's tp axis; no collectives inside attention
+        # (parallel/tensor.py)
+        from ..parallel.tensor import current_tp, head_parallel_attention
+
+        mesh, axis = current_tp()
+        return head_parallel_attention(q, k, v, num_heads, mesh, axis,
+                                       scale=scale)
+
     out = naive_attention(bhnd(q), bhnd(k), bhnd(v), scale=scale)
     return out.transpose(0, 2, 1, 3).reshape(b, n, hd)
