@@ -57,6 +57,65 @@ def sequence_parallel_attention(q, k, v, mesh: Mesh, axis: str = "sp",
                      out_specs=spec, check_rep=False)(q, k, v)
 
 
+def ring_attention(q, k, v, mesh: Mesh, axis: str = "sp",
+                   scale: float | None = None):
+    """Ring attention: like sequence_parallel_attention but k/v memory
+    stays O(N/sp) per chip — each shard's key/value block rotates around
+    the ring (ppermute) while every query shard folds the visiting block
+    into its online-softmax state via the kernel's logsumexp output
+    (the blockwise/ring formulation of flash attention; the scaling-book
+    collective pattern for long-context).
+
+    q, k, v: [B, H, N, D] with N sharded over ``axis``.  Differentiable:
+    ppermute and lax.scan are differentiable, and the rect kernel's lse
+    output carries its cotangent into the fused backward.  Use when the
+    gathered k/v of sequence_parallel_attention would not fit; for the
+    model's native token counts the all-gather form is faster (one
+    collective instead of sp serialized kernel calls)."""
+    import jax.numpy as jnp
+
+    from ..ops.flash_attention import (FWD_BLOCK_TARGET, _flash_bh_rect,
+                                       _pick_block)
+
+    b, h, n, d = q.shape
+    n_sp = mesh.shape[axis]
+    assert n % n_sp == 0, (n, n_sp)
+    n_loc = n // n_sp
+    if scale is None:
+        scale = d ** -0.5
+    block_q = _pick_block(n_loc, FWD_BLOCK_TARGET)
+    block_k = _pick_block(n_loc, FWD_BLOCK_TARGET)
+    perm = [(i, (i + 1) % n_sp) for i in range(n_sp)]
+
+    def local(ql, kl, vl):
+        bh = b * h
+        ql = ql.reshape(bh, n_loc, d)
+        kl = kl.reshape(bh, n_loc, d)
+        vl = vl.reshape(bh, n_loc, d)
+
+        def step(carry, _):
+            out, lse, kc, vc = carry
+            o_i, l_i = _flash_bh_rect(ql, kc, vc, float(scale), block_q,
+                                      block_k, True)
+            new_lse = jnp.logaddexp(lse, l_i)
+            w_old = jnp.exp(lse - new_lse)[..., None]
+            w_new = jnp.exp(l_i - new_lse)[..., None]
+            out = out * w_old + o_i.astype(jnp.float32) * w_new
+            kc = jax.lax.ppermute(kc, axis, perm)
+            vc = jax.lax.ppermute(vc, axis, perm)
+            return (out, new_lse, kc, vc), None
+
+        out0 = jnp.zeros((bh, n_loc, d), jnp.float32)
+        lse0 = jnp.full((bh, n_loc), -jnp.inf, jnp.float32)
+        (out, _, _, _), _ = jax.lax.scan(
+            step, (out0, lse0, kl, vl), None, length=n_sp)
+        return out.astype(q.dtype).reshape(b, h, n_loc, d)
+
+    spec = P(None, None, axis, None)
+    return shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
+                     out_specs=spec, check_rep=False)(q, k, v)
+
+
 def shard_sequence(x, mesh: Mesh, axis: str = "sp", dim: int = 2):
     """Place x with its ``dim`` axis sharded over the mesh ``axis``."""
     spec = [None] * x.ndim

@@ -141,3 +141,36 @@ def test_flash_sp_requires_context():
     q = jnp.ones((1, 16, 64))
     with pytest.raises(RuntimeError, match="use_sequence_parallel"):
         multi_head_attention_packed(q, q, q, 2, impl="flash_sp")
+
+
+def test_ring_attention_matches_unsharded():
+    """Ring attention (k/v rotating via ppermute, online logsumexp merge)
+    == unsharded attention, fwd and grads, on the 8-way CPU mesh."""
+    from octcubem_tpu.parallel.sequence import (ring_attention,
+                                                shard_sequence)
+
+    devices = jax.devices()
+    mesh = Mesh(np.asarray(devices[:8]), ("sp",))
+    b, h, n, d = 2, 2, 8 * 32, 16
+    q, k, v = _rand_qkv(jax.random.key(11), b, h, n, d)
+    ref = naive_attention(q, k, v)
+
+    qs = shard_sequence(q, mesh)
+    ks = shard_sequence(k, mesh)
+    vs = shard_sequence(v, mesh)
+    out = ring_attention(qs, ks, vs, mesh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-5, rtol=5e-5)
+
+    def loss_ring(q, k, v):
+        return (ring_attention(q, k, v, mesh)
+                .astype(jnp.float32) ** 2).sum()
+
+    def loss_ref(q, k, v):
+        return (naive_attention(q, k, v).astype(jnp.float32) ** 2).sum()
+
+    g_r = jax.jit(jax.grad(loss_ring, argnums=(0, 1, 2)))(qs, ks, vs)
+    g_n = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_r, g_n):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=5e-4, rtol=5e-4)
