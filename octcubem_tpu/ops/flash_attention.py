@@ -168,7 +168,7 @@ def _fwd_kernel_nomax_cls(q_ref, k_ref, v_ref, kc_ref, vc_ref,
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
-                acc_ref, m_ref, l_ref, *, scale, n_valid, block_k):
+                acc_ref, m_ref, l_ref, *, scale, n_valid, block_k, n_pad):
     kb = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -184,7 +184,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # [bq, bk]
 
-    if n_valid % block_k != 0:
+    if n_valid < n_pad:
         col = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < n_valid, s, NEG_INF)
 
@@ -244,7 +244,7 @@ def _fwd(q, k, v, scale, block_q, block_k, no_max: bool = True):
         ]
     else:
         kernel = functools.partial(_fwd_kernel, scale=scale, n_valid=n,
-                                   block_k=block_k)
+                                   block_k=block_k, n_pad=n_pad)
         scratch = [
             pltpu.VMEM((block_q, d), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
@@ -623,9 +623,11 @@ _flash_bh_cls.defvjp(_flash_bh_cls_fwd, _bwd_cls)
 # side to its own block multiple — the form sequence parallelism needs
 # (each shard's queries attend over the full gathered key/value set).
 
-def _fwd_rect(q, k, v, scale, block_q, block_k, no_max: bool = True):
+def _fwd_rect(q, k, v, scale, block_q, block_k, no_max: bool = True,
+              kv_valid: int | None = None):
     bh, nq, d = q.shape
     nk = k.shape[1]
+    kv_valid = nk if kv_valid is None else kv_valid
     nq_pad = _round_up(nq, block_q)
     nk_pad = _round_up(nk, block_k)
     if nq_pad - nq:
@@ -635,16 +637,20 @@ def _fwd_rect(q, k, v, scale, block_q, block_k, no_max: bool = True):
         k, v = jnp.pad(k, zp), jnp.pad(v, zp)
 
     if no_max:
+        # kv_valid < nk requires the invalid tail rows to be ZERO (the
+        # sequence-parallel wrapper masks them): zero keys contribute
+        # exactly e^-SHIFT each, removed by the pad_l correction
         kernel = functools.partial(_fwd_kernel_nomax, scale=scale,
-                                   n_valid=nk, block_k=block_k,
+                                   n_valid=kv_valid, block_k=block_k,
                                    n_pad=nk_pad)
         scratch = [
             pltpu.VMEM((block_q, d), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
         ]
     else:
-        kernel = functools.partial(_fwd_kernel, scale=scale, n_valid=nk,
-                                   block_k=block_k)
+        kernel = functools.partial(_fwd_kernel, scale=scale,
+                                   n_valid=kv_valid, block_k=block_k,
+                                   n_pad=nk_pad)
         scratch = [
             pltpu.VMEM((block_q, d), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
@@ -675,7 +681,7 @@ def _fwd_rect(q, k, v, scale, block_q, block_k, no_max: bool = True):
     return out[:, :nq], lse[:, :nq, 0]
 
 
-def _bwd_rect(scale, block_q, block_k, no_max, res, g):
+def _bwd_rect(scale, block_q, block_k, no_max, kv_valid, res, g):
     q, k, v, out, lse = res
     g, g_lse = g
     bh, nq, d = q.shape
@@ -700,7 +706,8 @@ def _bwd_rect(scale, block_q, block_k, no_max, res, g):
     delta = delta[..., None]
 
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_fused_bwd_kernel, scale=scale, n_valid=nk,
+        functools.partial(_fused_bwd_kernel, scale=scale,
+                          n_valid=nk if kv_valid is None else kv_valid,
                           block_q=block_q, block_k=block_k, no_max=no_max),
         grid=(bh, nk_pad // block_k, nq_pad // block_q),
         in_specs=[
@@ -733,13 +740,15 @@ def _bwd_rect(scale, block_q, block_k, no_max, res, g):
     return dq[:, :nq], dk[:, :nk], dv[:, :nk]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _flash_bh_rect(q, k, v, scale, block_q, block_k, no_max):
-    return _fwd_rect(q, k, v, scale, block_q, block_k, no_max)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash_bh_rect(q, k, v, scale, block_q, block_k, no_max,
+                   kv_valid=None):
+    return _fwd_rect(q, k, v, scale, block_q, block_k, no_max, kv_valid)
 
 
-def _flash_bh_rect_fwd(q, k, v, scale, block_q, block_k, no_max):
-    out, lse = _fwd_rect(q, k, v, scale, block_q, block_k, no_max)
+def _flash_bh_rect_fwd(q, k, v, scale, block_q, block_k, no_max,
+                       kv_valid=None):
+    out, lse = _fwd_rect(q, k, v, scale, block_q, block_k, no_max, kv_valid)
     return (out, lse), (q, k, v, out, lse)
 
 
@@ -747,11 +756,17 @@ _flash_bh_rect.defvjp(_flash_bh_rect_fwd, _bwd_rect)
 
 
 def flash_attention_rect(q, k, v, scale: float | None = None,
-                         no_max: bool = True):
+                         no_max: bool = True,
+                         kv_valid: int | None = None):
     """Cross-attention-shaped flash: q [B, H, Nq, D] against k/v
     [B, H, Nk, D] with Nq != Nk allowed.  Differentiable.  This is the
     core the sequence-parallel wrapper shards (parallel/sequence.py):
-    each query shard attends over the full key/value set."""
+    each query shard attends over the full key/value set.
+
+    kv_valid (static): only the first kv_valid keys are attended; the
+    tail rows of k AND v must be zero (the caller masks them — the
+    zeroing op's VJP then discards their gradient contributions, which
+    keeps the backward exact)."""
     b, h, nq, d = q.shape
     nk = k.shape[2]
     if scale is None:
@@ -761,7 +776,8 @@ def flash_attention_rect(q, k, v, scale: float | None = None,
     out, _ = _flash_bh_rect(q.reshape(b * h, nq, d),
                             k.reshape(b * h, nk, d),
                             v.reshape(b * h, nk, d),
-                            float(scale), block_q, block_k, bool(no_max))
+                            float(scale), block_q, block_k, bool(no_max),
+                            kv_valid)
     return out.reshape(b, h, nq, d)
 
 

@@ -34,23 +34,40 @@ except ImportError:  # pragma: no cover
 
 def sequence_parallel_attention(q, k, v, mesh: Mesh, axis: str = "sp",
                                 scale: float | None = None,
-                                no_max: bool = True):
+                                no_max: bool = True,
+                                n_valid: int | None = None):
     """q, k, v: [B, H, N, D] with N sharded over ``axis`` -> [B, H, N, D]
     sharded the same way.  Differentiable; grads of k/v are
     reduce-scattered back to their shards by the all_gather transpose.
 
-    N must be divisible by the axis size.  The kv gather happens inside
-    shard_map so XLA emits one ICI all-gather per tensor, overlapping
-    with the first kernel tiles where possible.
+    N must be divisible by the axis size; sequences that are not (e.g.
+    the flagship 20480-token high-res grid + cls = 20481) get PADDED to
+    the next multiple by the caller, passing the true length as
+    ``n_valid``: the pad tail of k/v is zeroed here (so the kernel's
+    correction is exact and the zeroing VJP discards the tail's grad
+    contributions) and masked out of every query's softmax; pad QUERY
+    rows produce garbage the caller slices off.
+
+    The kv gather happens inside shard_map so XLA emits one ICI
+    all-gather per tensor, overlapping with the first kernel tiles
+    where possible.
     """
+    import jax.numpy as jnp
+
     n = q.shape[2]
     n_sp = mesh.shape[axis]
     assert n % n_sp == 0, (n, n_sp)
+    if n_valid is not None and n_valid < n:
+        keep = (jnp.arange(n) < n_valid)[None, None, :, None]
+        k = jnp.where(keep, k, 0)
+        v = jnp.where(keep, v, 0)
+    kv_valid = n_valid
 
     def local(ql, kl, vl):
         kf = jax.lax.all_gather(kl, axis, axis=2, tiled=True)
         vf = jax.lax.all_gather(vl, axis, axis=2, tiled=True)
-        return flash_attention_rect(ql, kf, vf, scale=scale, no_max=no_max)
+        return flash_attention_rect(ql, kf, vf, scale=scale, no_max=no_max,
+                                    kv_valid=kv_valid)
 
     spec = P(None, None, axis, None)
     return shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),

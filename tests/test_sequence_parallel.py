@@ -174,3 +174,49 @@ def test_ring_attention_matches_unsharded():
     for a, b_ in zip(g_r, g_n):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    atol=5e-4, rtol=5e-4)
+
+
+@pytest.mark.parametrize("no_max", [True, False])
+def test_sequence_parallel_padded_n_valid(no_max):
+    """Padded SP for lengths not divisible by the axis (the flagship
+    20480+cls case): N=100 padded to 104 over 8 shards with n_valid=100
+    == unsharded attention on the valid region; pad-region k/v grads are
+    exactly zero and valid-region grads match."""
+    from octcubem_tpu.parallel.sequence import (sequence_parallel_attention,
+                                                shard_sequence)
+
+    devices = jax.devices()
+    mesh = Mesh(np.asarray(devices[:8]), ("sp",))
+    b, h, n_valid, d = 1, 2, 100, 32
+    n_pad = 104  # next multiple of 8
+    q, k, v = _rand_qkv(jax.random.key(9), b, h, n_pad, d)
+    ref = naive_attention(q[:, :, :n_valid], k[:, :, :n_valid],
+                          v[:, :, :n_valid])
+
+    qs = shard_sequence(q, mesh)
+    ks = shard_sequence(k, mesh)
+    vs = shard_sequence(v, mesh)
+    out = sequence_parallel_attention(qs, ks, vs, mesh, n_valid=n_valid,
+                                      no_max=no_max)
+    np.testing.assert_allclose(np.asarray(out)[:, :, :n_valid],
+                               np.asarray(ref), atol=5e-5, rtol=5e-5)
+
+    def loss_sp(q, k, v):
+        o = sequence_parallel_attention(q, k, v, mesh, n_valid=n_valid,
+                                        no_max=no_max)
+        return (o[:, :, :n_valid].astype(jnp.float32) ** 2).sum()
+
+    def loss_ref(q, k, v):
+        return (naive_attention(q[:, :, :n_valid], k[:, :, :n_valid],
+                                v[:, :, :n_valid])
+                .astype(jnp.float32) ** 2).sum()
+
+    g_sp = jax.jit(jax.grad(loss_sp, argnums=(0, 1, 2)))(qs, ks, vs)
+    g_rf = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_sp, g_rf):
+        a = np.asarray(a)
+        np.testing.assert_allclose(a[:, :, :n_valid],
+                                   np.asarray(b_)[:, :, :n_valid],
+                                   atol=5e-4, rtol=5e-4)
+        # pad-region grads are exactly zero (the masking VJP)
+        np.testing.assert_array_equal(a[:, :, n_valid:], 0.0)
