@@ -46,29 +46,63 @@ MASK_RATIO = 0.90
 STEPS = 8
 V5E_PEAK_BF16 = 197e12
 A100_PEAK_FP16 = 312e12
-A100_ASSUMED_MFU = 0.35
+A100_ASSUMED_MFU = 0.35   # legacy flat comparator (kept for reference)
+
+# Component-wise A100 comparator (round-3 re-derivation; the round-2 flat
+# 35%-MFU model ignored that 44% of the step FLOPs are head_dim-32
+# decoder attention, which no CUDA kernel runs at 35% of peak either):
+# - Attention: flash-attn-2 at head_dim 32, seq ~5k.  Unlike the TPU MXU
+#   (128-deep contraction -> hd-32 uses 32/128 lanes BY CONSTRUCTION),
+#   A100 tensor-core MMA granularity is k=8/16, so hd=32 is not
+#   contraction-starved — but FA2's practical hd-32 rates are bound by
+#   softmax/smem/occupancy: public FA2 A100 benches run ~120-170 TF at
+#   hd=128 and roughly halve at hd<=64; hd=32 fwd ~70 TF (22% peak),
+#   bwd ~55 TF (18%) are generous estimates.
+# - Dense (qkvo/mlp/embeds at batch-1 shapes, [513..5121, 1024] GEMMs):
+#   50% of fp16 peak — strong for cuBLAS + AMP overhead at these sizes.
+# DDP all-reduce, fp16 loss-scaler and host dataloading are ignored
+# (generous to the A100).  Result ~29 vol/s vs the flat model's 35.
+A100_ATTN_FWD_TF = 70e12
+A100_ATTN_BWD_TF = 55e12
+A100_DENSE_EFF = 0.50
 
 
-def train_step_flops_per_volume() -> float:
-    """Analytic FLOPs (fwd+bwd ~= 3x fwd) of one MAE train step, per volume."""
+def train_step_flops_per_volume(split: bool = False):
+    """Analytic FLOPs (fwd+bwd ~= 3x fwd) of one MAE train step, per volume.
+
+    split=True returns (dense_fwd, attn_fwd) fwd-only components for the
+    A100 component model (train totals are 3x each)."""
     d, layers, heads = 1024, 24, 16
     dd, dlayers = 512, 8
     l_full = (FRAMES // TPATCH) * (IMG // PATCH) ** 2     # 5120
     l_vis = int(l_full * (1 - MASK_RATIO)) + 1            # 513 (cls)
     l_dec = l_full + 1
 
-    def block_flops(n, dim):
-        lin = 2 * n * 12 * dim * dim          # qkvo + mlp matmuls
-        attn = 2 * 2 * n * n * dim            # qk^T and pv
-        return lin + attn
+    def lin_flops(n, dim):
+        return 2 * n * 12 * dim * dim         # qkvo + mlp matmuls
 
-    enc = layers * block_flops(l_vis, d)
-    dec = dlayers * block_flops(l_dec, dd)
-    patch = 2 * l_full * (TPATCH * PATCH * PATCH) * d      # patch embed
-    pred = 2 * l_dec * dd * (TPATCH * PATCH * PATCH)       # decoder_pred
-    emb = 2 * l_dec * d * dd                               # decoder_embed
-    fwd = enc + dec + patch + pred + emb
-    return 3.0 * fwd
+    def attn_flops(n, dim):
+        return 2 * 2 * n * n * dim            # qk^T and pv
+
+    dense = (layers * lin_flops(l_vis, d) + dlayers * lin_flops(l_dec, dd)
+             + 2 * l_full * (TPATCH * PATCH * PATCH) * d   # patch embed
+             + 2 * l_dec * dd * (TPATCH * PATCH * PATCH)   # decoder_pred
+             + 2 * l_dec * d * dd)                         # decoder_embed
+    attn = layers * attn_flops(l_vis, d) + dlayers * attn_flops(l_dec, dd)
+    if split:
+        return dense, attn
+    return 3.0 * (dense + attn)
+
+
+def a100_component_est_vols_per_sec() -> float:
+    """A100 vol/s from the component model above: attention fwd at its
+    FA2 hd-32 rate, attention bwd (2x fwd FLOPs) at the bwd rate, dense
+    (3x fwd FLOPs) at A100_DENSE_EFF of fp16 peak."""
+    dense_fwd, attn_fwd = train_step_flops_per_volume(split=True)
+    t = (attn_fwd / A100_ATTN_FWD_TF
+         + 2.0 * attn_fwd / A100_ATTN_BWD_TF
+         + 3.0 * dense_fwd / (A100_DENSE_EFF * A100_PEAK_FP16))
+    return 1.0 / t
 
 
 def main():
@@ -95,7 +129,11 @@ def main():
     tx = optim.build_adamw(params, sched, weight_decay=0.05, mu_dtype=mu)
     state = TrainState.create(params, tx, jax.random.key(2))
 
-    step = make_mae_train_step(model, tx, joint=False)
+    # BENCH_GNORM=0: drop the per-step global-grad-norm metric (an extra
+    # full grad read unless XLA fuses it) — perf experiment knob
+    step = make_mae_train_step(
+        model, tx, joint=False,
+        compute_grad_norm=os.environ.get("BENCH_GNORM", "1") != "0")
 
     if USE_MESH:
         from octcubem_tpu.core import mesh as meshlib
@@ -129,7 +167,8 @@ def main():
     vols_per_sec = BATCH / step_time
     flops_per_vol = train_step_flops_per_volume()
     mfu = flops_per_vol * vols_per_sec / V5E_PEAK_BF16
-    a100_est = A100_PEAK_FP16 * A100_ASSUMED_MFU / flops_per_vol
+    a100_flat = A100_PEAK_FP16 * A100_ASSUMED_MFU / flops_per_vol
+    a100_est = a100_component_est_vols_per_sec()
 
     print(json.dumps({
         "metric": "MAE ViT-L 3D pretrain throughput (60x256x256, mask 0.9)",
@@ -141,7 +180,15 @@ def main():
         "remat": REMAT,
         "mfu": round(mfu, 4),
         "flops_per_volume_T": round(flops_per_vol / 1e12, 3),
-        "baseline_note": "A100 est = 35% MFU of 312 TF fp16 on same FLOPs",
+        "a100_est_vol_s": round(a100_est, 2),
+        "vs_a100_flat35": round(vols_per_sec / a100_flat, 3),
+        "baseline_note": "A100 est = component model: 44% of step FLOPs "
+                         "are hd-32 decoder attention (FA2 hd-32 A100 "
+                         "rates ~70 TF fwd / ~55 TF bwd, generous), dense "
+                         "at 50% of 312 TF fp16; DDP/loader overhead "
+                         "ignored -> ~29 vol/s.  Flat-35%-MFU alternate "
+                         "(35 vol/s) reported as vs_a100_flat35; "
+                         "derivation in NOTES_ROUND3.md",
         # why the >=40% MFU target is unreachable at parity (measured,
         # NOTES_ROUND2.md): the decoder's head_dim-32 attention is MXU
         # output-rate bound — qk^T/pv use 32 of 128 contraction lanes and

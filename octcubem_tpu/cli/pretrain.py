@@ -69,6 +69,13 @@ def main(argv=None):
     parser.add_argument("--batch_size", type=int, default=None)
     parser.add_argument("--steps_per_epoch", type=int, default=None)
     parser.add_argument("--output_dir", default=None)
+    parser.add_argument("--resume", default=None,
+                        help="'latest' or a prior run dir / ckpt dir")
+    parser.add_argument("--resume_type", default=None,
+                        help="see MAEPretrainConfig.resume_type")
+    parser.add_argument("--init_ckpt", default=None)
+    parser.add_argument("--load_spl_dir", default=None)
+    parser.add_argument("--epoch_load_spl", type=int, default=None)
     parser.add_argument("--tiny", action="store_true",
                         help="tiny model dims for smoke runs")
     parser.add_argument("--eval_only", action="store_true",
@@ -98,7 +105,10 @@ def main(argv=None):
 
     overrides = {k: v for k, v in (
         ("epochs", args.epochs), ("batch_size", args.batch_size),
-        ("output_dir", args.output_dir)) if v is not None}
+        ("output_dir", args.output_dir), ("resume", args.resume),
+        ("resume_type", args.resume_type), ("init_ckpt", args.init_ckpt),
+        ("load_spl_dir", args.load_spl_dir),
+        ("epoch_load_spl", args.epoch_load_spl)) if v is not None}
     cfg = load_config(MAEPretrainConfig, args.preset, **overrides)
     os.makedirs(cfg.output_dir, exist_ok=True)
     log = get_logger("pretrain", os.path.join(cfg.output_dir, "out.log"))
@@ -117,11 +127,15 @@ def main(argv=None):
                         t_patch_size=cfg.t_patch_size,
                         pred_t_dim=cfg.pred_t_dim,
                         norm_pix_loss=cfg.norm_pix_loss)
+    attn_impl = cfg.attn_impl
+    if cfg.n_sp > 1 and attn_impl != "flash_sp":
+        attn_impl = "flash_sp"  # n_sp opts the attention into sp
     dtype = jnp.bfloat16 if cfg.precision == "bf16" else jnp.float32
     model = mae3d.mae_vit_large_patch16(**model_kw, dtype=dtype,
-                                        remat=cfg.remat) \
+                                        remat=cfg.remat,
+                                        attn_impl=attn_impl) \
         if not args.tiny else mae3d.MaskedAutoencoderViT3D(
-            **model_kw, dtype=dtype, attn_impl="auto")
+            **model_kw, dtype=dtype, attn_impl=attn_impl)
     frames = model.num_frames
     size = model.input_size
     hi_size = model.high_res_input_size
@@ -145,8 +159,22 @@ def main(argv=None):
             visits=visits, kermany_root=args.kermany_dir, size=hi_size,
             t_patch=model.t_patch_size)
     spl_state = spl_lib.SPLState(getattr(ds2d, "names", []))
-    mesh = meshlib.make_mesh(n_data=cfg.n_data, n_fsdp=cfg.n_fsdp)
+    mesh = meshlib.make_mesh(n_data=cfg.n_data, n_fsdp=cfg.n_fsdp,
+                             n_sp=cfg.n_sp)
     n_data = mesh.shape[meshlib.DATA_AXIS]
+
+    def sp_ctx():
+        # composed dp x sp: trace-time context routing attn_impl=
+        # 'flash_sp' through the mesh's sp axis with batch sharded over
+        # 'data' (parallel/sequence.py)
+        import contextlib
+
+        if cfg.n_sp <= 1:
+            return contextlib.nullcontext()
+        from ..parallel.sequence import use_sequence_parallel
+
+        return use_sequence_parallel(mesh, meshlib.SP_AXIS,
+                                     batch_axis=meshlib.DATA_AXIS)
 
     def _round_to_mesh(b: int, n_items: int) -> int:
         b = min(b, n_items)  # never a batch larger than the dataset
@@ -177,34 +205,77 @@ def main(argv=None):
                                          cfg.epochs, steps_per_epoch)
 
     x0 = jnp.zeros((batch3d, frames, size, size, 1))
-    params = jax.jit(lambda k, x: model.init(
-        {"params": k, "masking": k}, x, mask_ratio=cfg.mask_ratio))(
-            jax.random.key(cfg.seed), x0)
+    with mesh, sp_ctx():
+        params = jax.jit(lambda k, x: model.init(
+            {"params": k, "masking": k}, x, mask_ratio=cfg.mask_ratio))(
+                jax.random.key(cfg.seed), x0)
     tx = optim.build_adamw(params, sched, cfg.weight_decay,
                            clip_grad=cfg.clip_grad)
     state = TrainState.create(params, tx, jax.random.key(cfg.seed + 1))
 
-    # resume-type dispatch (reference main_pretrain…py:457-571, 6 types):
+    # resume-type dispatch (reference main_pretrain…py:457-571, 7 types):
     #   training_new          fresh params (optionally init_ckpt as-is)
     #   resume_latest         restore full TrainState from output_dir
-    #   retfound_2_flash_attn RETFound/ImageNet 2D ckpt -> joint 3D MAE
+    #                         + SPL dict reload (ref main:469-489)
+    #   retfound_2_flash_attn RETFound 2D ckpt -> joint 3D MAE
+    #   imagenet_mae          timm MAE 2D ckpt (ref imagenet_2_flash_attn)
+    #   imagenet_ft           timm supervised-ft 2D ckpt — same converter
+    #                         chain, classifier head/pre_logits dropped
+    #                         (ref imagenet_ft_2_flash_attn, main:525-534)
+    #   training_continue_reset_optim  params from a prior run's ckpt,
+    #                         FRESH optimizer + epoch 0, optional SPL dict
+    #                         from load_spl_dir (ref main:535-546)
     #   octcube / released    flash-style 3D ckpt loaded directly
     start_epoch = 0
     ckpt_dir = os.path.join(cfg.output_dir, "ckpt")
+    _IMAGENET_FT = ("imagenet_ft", "imagenet_ft_2_flash_attn")
+
+    def _reload_spl(path: str, epoch: int) -> None:
+        # mutate in place: ds2d_active holds a live view of spl_state
+        spl_state.hardness = spl_lib.SPLState.load(path).hardness
+        k0 = schedules.spl_k_schedule(epoch, cfg.spl_k_max, cfg.spl_k_min,
+                                      cfg.epochs, cfg.warmup_epochs)
+        spl_state.update_spl(k0)
+        log.info(f"SPL dict reloaded from {path} (K={k0:.2f})")
+
     if cfg.init_ckpt:
         from ..compat.torch_import import (load_torch_checkpoint,
                                            import_state_dict,
                                            convert_retfound_2d_state_dict)
 
         sd = load_torch_checkpoint(cfg.init_ckpt)
-        if cfg.resume_type in ("retfound_2_flash_attn", "imagenet_mae"):
+        if cfg.resume_type in (
+                "retfound_2_flash_attn", "imagenet_mae") + _IMAGENET_FT:
             sd = convert_retfound_2d_state_dict(
                 sd, model.t_patch_size, model.high_res_grid)
-        params2, rep = import_state_dict(state.params, sd, strict=False)
+        # supervised-ft checkpoints carry a classifier head (and the in21k
+        # variants a pre_logits block) with no MAE slot; the reference's
+        # strict=False load discards them silently — drop explicitly here
+        drop = (("head.weight", "head.bias", "pre_logits")
+                if cfg.resume_type in _IMAGENET_FT else ())
+        params2, rep = import_state_dict(state.params, sd, strict=False,
+                                         drop_keys=drop)
         state = state.replace(params=params2)
         log.info(f"init from {cfg.init_ckpt} ({cfg.resume_type}); "
                  f"fresh params: {len(rep['missing'])}")
-    if (cfg.resume == "latest" or cfg.resume_type == "resume_latest") \
+    if cfg.resume_type == "training_continue_reset_optim" and cfg.resume:
+        from ..train.mae_engine import replicate_state
+
+        prev = cfg.resume
+        if os.path.basename(os.path.normpath(prev)) != "ckpt":
+            prev = os.path.join(prev, "ckpt")
+        state_prev, _, step_prev = ckpt_lib.restore_checkpoint(prev, state)
+        state = replicate_state(
+            state.replace(params=state_prev.params), mesh)
+        log.info(f"params restored from {prev} (step {step_prev}); "
+                 "optimizer reset, epochs restart at 0")
+        if cfg.epoch_load_spl >= 0 and cfg.load_spl_dir:
+            spl_path = os.path.join(
+                cfg.load_spl_dir,
+                f"all_image_dict-{cfg.epoch_load_spl}.pkl")
+            if os.path.exists(spl_path):
+                _reload_spl(spl_path, 0)
+    elif (cfg.resume == "latest" or cfg.resume_type == "resume_latest") \
             and ckpt_lib.latest_step(ckpt_dir) is not None:
         state, extra, step = ckpt_lib.restore_checkpoint(ckpt_dir, state)
         # restored arrays land on one device; re-place on the mesh so they
@@ -214,6 +285,10 @@ def main(argv=None):
         state = replicate_state(state, mesh)
         start_epoch = (extra or {}).get("epoch", 0) + 1
         log.info(f"resumed from epoch {start_epoch - 1}")
+        spl_path = os.path.join(cfg.output_dir,
+                                f"all_image_dict-{start_epoch - 1}.pkl")
+        if os.path.exists(spl_path):
+            _reload_spl(spl_path, start_epoch)
 
     step_fn = make_mae_train_step(model, tx, joint=True,
                                   use_premask=cfg.use_premask,
@@ -228,7 +303,7 @@ def main(argv=None):
 
         eval_fn = make_mae_eval_step(model)
         losses = []
-        with mesh:
+        with mesh, sp_ctx():
             for it, (vols, _, _) in enumerate(ld3):
                 b3 = shard_batch(jnp.asarray(vols), mesh)
                 out = eval_fn(state.params, b3, jax.random.key(it))
@@ -246,7 +321,7 @@ def main(argv=None):
         jsonl.write({"eval_loss": float(np.mean(losses))})
         return None
 
-    with mesh:
+    with mesh, sp_ctx():
         for epoch in range(start_epoch, cfg.epochs):
             mask2d = schedules.mask_ratio_2d_schedule(
                 epoch, cfg.mask_ratio_2d_min, cfg.mask_ratio_2d_max,

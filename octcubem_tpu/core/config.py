@@ -51,10 +51,20 @@ class MAEPretrainConfig:
     output_dir: str = "./output_pretrain"
     resume: Optional[str] = None
     init_ckpt: Optional[str] = None
-    resume_type: str = "training_new"  # |retfound_2_flash_attn|imagenet_mae...
+    # training_new | resume_latest | retfound_2_flash_attn | imagenet_mae |
+    # imagenet_ft | training_continue_reset_optim  (reference
+    # main_pretrain_oph_joint_2d512_flash_attn.py:457-571, 6+1 types)
+    resume_type: str = "training_new"
+    load_spl_dir: Optional[str] = None  # SPL dict dir for …reset_optim
+    epoch_load_spl: int = -1            # which epoch's all_image_dict-*.pkl
     use_premask: bool = True
     n_data: Optional[int] = None  # mesh data-parallel size (None = all)
     n_fsdp: int = 1
+    # sequence parallelism over the 20k-token high-res attention
+    # (parallel/sequence.py): n_sp > 1 composes a (data, fsdp, sp) mesh
+    # and routes attention through attn_impl='flash_sp'
+    n_sp: int = 1
+    attn_impl: str = "auto"
 
 
 @dataclasses.dataclass
@@ -137,6 +147,10 @@ class RetClipConfig:
     weight_decay: float = 0.1
     lock_image: bool = True
     lock_image_unlocked_groups: int = 9
+    # 'partition' = real freezing (no frozen backward, no moments —
+    # reference lock() requires_grad=False semantics); 'zero_scale' =
+    # legacy fallback (zero-scaled updates, still differentiates)
+    lock_mode: str = "partition"
     grad_checkpointing: bool = True
     precision: str = "bf16"
     seed: int = 0
@@ -170,6 +184,11 @@ class InferConfig:
 
 PRESETS: dict[str, Any] = {
     "vitl_joint_pretrain": MAEPretrainConfig(),
+    # high-res joint pretrain with the 20k-token attention sharded 4-way
+    # over a composed (data, sp) mesh — the case sequence parallelism was
+    # built for (SURVEY §5.7 optional headroom)
+    "vitl_joint_pretrain_sp4": MAEPretrainConfig(n_sp=4,
+                                                 attn_impl="flash_sp"),
     "octcube_multitask": FinetuneConfig(),
     "octcube_ir": RetClipConfig(),
     "octcube_ef": RetClipConfig(three_mod=True),

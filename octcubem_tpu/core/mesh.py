@@ -15,18 +15,26 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 FSDP_AXIS = "fsdp"
+SP_AXIS = "sp"
 
 
-def make_mesh(n_data: int | None = None, n_fsdp: int = 1, devices=None) -> Mesh:
-    """Build a (data, fsdp) mesh. Defaults to all devices on the data axis."""
+def make_mesh(n_data: int | None = None, n_fsdp: int = 1, devices=None,
+              n_sp: int = 1) -> Mesh:
+    """Build a (data, fsdp[, sp]) mesh. Defaults to all devices on the
+    data axis.  n_sp > 1 appends a sequence-parallel axis (innermost, so
+    sp groups ride the fastest ICI links)."""
     if devices is None:
         devices = jax.devices()
     if n_data is None:
-        n_data = len(devices) // n_fsdp
-    assert n_data * n_fsdp <= len(devices), (
-        f"need {n_data * n_fsdp} devices, have {len(devices)}"
+        n_data = len(devices) // (n_fsdp * n_sp)
+    need = n_data * n_fsdp * n_sp
+    assert need <= len(devices), (
+        f"need {need} devices, have {len(devices)}"
     )
-    dev = np.array(devices[: n_data * n_fsdp]).reshape(n_data, n_fsdp)
+    if n_sp > 1:
+        dev = np.array(devices[:need]).reshape(n_data, n_fsdp, n_sp)
+        return Mesh(dev, (DATA_AXIS, FSDP_AXIS, SP_AXIS))
+    dev = np.array(devices[:need]).reshape(n_data, n_fsdp)
     return Mesh(dev, (DATA_AXIS, FSDP_AXIS))
 
 

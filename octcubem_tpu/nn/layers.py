@@ -19,7 +19,9 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..ops.attention import multi_head_attention, multi_head_attention_packed
+from ..ops.attention import (multi_head_attention,
+                             multi_head_attention_packed,  # noqa: F401
+                             multi_head_attention_qkv)
 
 LN_EPS = 1e-6  # partial(nn.LayerNorm, eps=1e-6) everywhere in the reference
 
@@ -75,10 +77,10 @@ class MHA(nn.Module):
         # pads 4x (ops/flash_attention.py packed-layout notes)
         qkv = nn.Dense(3 * self.dim, use_bias=self.qkv_bias, dtype=self.dtype,
                        name="Wqkv")(x)
-        q, k, v = (qkv[:, :, i * self.dim:(i + 1) * self.dim]
-                   for i in range(3))
-        out = multi_head_attention_packed(q, k, v, self.num_heads,
-                                          impl=self.attn_impl)
+        # fused dispatch: the flash path reads q/k/v out of the Wqkv
+        # buffer in-kernel (no slice materialization)
+        out = multi_head_attention_qkv(qkv, self.num_heads,
+                                       impl=self.attn_impl)
         return nn.Dense(self.dim, dtype=self.dtype, name="out_proj")(out)
 
 

@@ -64,13 +64,24 @@ def multi_head_attention_packed(q, k, v, num_heads: int, scale=None,
     if impl == "flash_sp":
         # sequence-parallel: queries sharded over the context's sp axis,
         # rectangular flash against the all-gathered k/v
-        # (parallel/sequence.py)
+        # (parallel/sequence.py).  Sequences not divisible by the sp
+        # degree (e.g. 5121 = 5120 tokens + cls) are zero-padded here and
+        # masked via kv_valid; the pad query rows are sliced off.
         from ..parallel.sequence import (current_sp,
                                          sequence_parallel_attention)
 
-        mesh, axis = current_sp()
-        out = sequence_parallel_attention(bhnd(q), bhnd(k), bhnd(v), mesh,
-                                          axis, scale=scale)
+        mesh, axis, batch_axis = current_sp()
+        n_sp = mesh.shape[axis]
+        qh, kh, vh = bhnd(q), bhnd(k), bhnd(v)
+        pad = -n % n_sp
+        if pad:
+            zp = ((0, 0), (0, 0), (0, pad), (0, 0))
+            qh, kh, vh = (jnp.pad(x, zp) for x in (qh, kh, vh))
+        out = sequence_parallel_attention(
+            qh, kh, vh, mesh, axis, scale=scale,
+            n_valid=n if pad else None, batch_axis=batch_axis)
+        if pad:
+            out = out[:, :, :n]
         return out.transpose(0, 2, 1, 3).reshape(b, n, hd)
 
     if impl == "flash_tp":
@@ -85,3 +96,22 @@ def multi_head_attention_packed(q, k, v, num_heads: int, scale=None,
 
     out = naive_attention(bhnd(q), bhnd(k), bhnd(v), scale=scale)
     return out.transpose(0, 2, 1, 3).reshape(b, n, hd)
+
+
+def multi_head_attention_qkv(qkv, num_heads: int, scale=None,
+                             impl: str = "auto"):
+    """Fused-projection dispatch: qkv [B, N, 3*H*D] straight from Wqkv.
+
+    The flash path consumes the fused buffer without materializing the
+    q/k/v minor-dim slices (flash_attention_packed_qkv — measured HBM
+    saving, NOTES_ROUND3.md); other impls slice and delegate."""
+    if impl == "auto":
+        platform = jax.local_devices()[0].platform
+        impl = "flash" if platform in ("tpu", "axon") else "naive"
+    if impl == "flash":
+        from .flash_attention import flash_attention_packed_qkv
+        return flash_attention_packed_qkv(qkv, num_heads, scale=scale)
+    hd = qkv.shape[-1] // 3
+    q, k, v = (qkv[:, :, i * hd:(i + 1) * hd] for i in range(3))
+    return multi_head_attention_packed(q, k, v, num_heads, scale=scale,
+                                       impl=impl)

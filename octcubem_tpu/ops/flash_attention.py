@@ -1095,6 +1095,188 @@ def _flash_packed_fwd(q, k, v, kc, vc, scale, block, d, extra_pad):
 _flash_packed.defvjp(_flash_packed_fwd, _bwd_packed)
 
 
+# ---- fused-qkv variant: the kernels read q/k/v straight out of the
+# Wqkv projection buffer [B, N, 3*H*D] via minor-offset BlockSpecs (the
+# same array passed three times with shifted minor block indices), so
+# the per-layer q/k/v minor-dim slices never materialize in HBM.
+# Measured round-3 perf experiment — see NOTES_ROUND3.md.
+
+def _fwd_packed_qkv(qkv, kc, vc, scale, block, d, extra_pad):
+    b, n, hd3 = qkv.shape
+    hd = hd3 // 3
+    h = hd // d
+    G = max(1, 128 // d) if d < 128 else 1
+    hg = h // G
+    n_pad = _round_up(n, block)
+    pad = n_pad - n
+    if pad:
+        qkv = jnp.pad(qkv, ((0, 0), (0, pad), (0, 0)))
+    nt = n_pad // block
+    gd = G * d
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel_packed, scale=scale,
+                          n_valid=n - extra_pad, n_pad=n_pad, d=d, G=G),
+        grid=(b, hg, nt, nt),
+        in_specs=[
+            # q/k/v strips live at minor block offsets 0 / hg / 2*hg of
+            # the SAME fused buffer
+            pl.BlockSpec((1, block, gd), lambda b, h, i, j: (b, i, h)),
+            pl.BlockSpec((1, block, gd),
+                         lambda b, h, i, j, hg=hg: (b, j, hg + h)),
+            pl.BlockSpec((1, block, gd),
+                         lambda b, h, i, j, hg=hg: (b, j, 2 * hg + h)),
+            pl.BlockSpec((1, 1, gd), lambda b, h, i, j: (b, 0, h)),
+            pl.BlockSpec((1, 1, gd), lambda b, h, i, j: (b, 0, h)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block, gd), lambda b, h, i, j: (b, i, h)),
+            pl.BlockSpec((1, G, block, 1), lambda b, h, i, j: (b, h, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n_pad, hd), qkv.dtype),
+            jax.ShapeDtypeStruct((b, h, n_pad, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block, gd), jnp.float32),
+            pltpu.VMEM((block, G), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=_use_interpret(),
+    )(qkv, qkv, qkv, kc, vc)
+    return out[:, :n], lse[:, :, :n, 0]
+
+
+def _bwd_packed_qkv(scale, block, d, extra_pad, res, g):
+    qkv, kc, vc, out, lse = res
+    g, g_lse = g
+    b, n, hd3 = qkv.shape
+    hd = hd3 // 3
+    h = hd // d
+    G = max(1, 128 // d) if d < 128 else 1
+    hg = h // G
+    gd = G * d
+    delta = (jnp.einsum(
+        "bnhd,bnhd->bhn", g.reshape(b, n, h, d).astype(jnp.float32),
+        out.reshape(b, n, h, d).astype(jnp.float32))
+        - g_lse.astype(jnp.float32))
+    bwd_block = _pick_block(n, BWD_BLOCK_TARGET)
+    n_pad = _round_up(n, bwd_block)
+    pad = n_pad - n
+    if pad:
+        qkv = jnp.pad(qkv, ((0, 0), (0, pad), (0, 0)))
+        g = jnp.pad(g, ((0, 0), (0, pad), (0, 0)))
+        lse = jnp.pad(lse, ((0, 0), (0, 0), (0, pad)))
+        delta = jnp.pad(delta, ((0, 0), (0, 0), (0, pad)))
+    nt = n_pad // bwd_block
+
+    dq, dk, dv, dkc, dvc = pl.pallas_call(
+        functools.partial(_bwd_kernel_packed, scale=scale,
+                          block_q=bwd_block, d=d, G=G),
+        grid=(b, hg, nt, nt),
+        in_specs=[
+            pl.BlockSpec((1, bwd_block, gd), lambda b, h, j, i: (b, i, h)),
+            pl.BlockSpec((1, bwd_block, gd),
+                         lambda b, h, j, i, hg=hg: (b, j, hg + h)),
+            pl.BlockSpec((1, bwd_block, gd),
+                         lambda b, h, j, i, hg=hg: (b, j, 2 * hg + h)),
+            pl.BlockSpec((1, bwd_block, gd), lambda b, h, j, i: (b, i, h)),
+            pl.BlockSpec((1, G, bwd_block, 1),
+                         lambda b, h, j, i: (b, h, i, 0)),
+            pl.BlockSpec((1, G, bwd_block, 1),
+                         lambda b, h, j, i: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, gd), lambda b, h, j, i: (b, 0, h)),
+            pl.BlockSpec((1, 1, gd), lambda b, h, j, i: (b, 0, h)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n_pad, gd), lambda b, h, j, i: (b, 0, h)),
+            pl.BlockSpec((1, bwd_block, gd), lambda b, h, j, i: (b, j, h)),
+            pl.BlockSpec((1, bwd_block, gd), lambda b, h, j, i: (b, j, h)),
+            pl.BlockSpec((1, 1, gd), lambda b, h, j, i: (b, 0, h)),
+            pl.BlockSpec((1, 1, gd), lambda b, h, j, i: (b, 0, h)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n_pad, hd), qkv.dtype),
+            jax.ShapeDtypeStruct((b, n_pad, hd), qkv.dtype),
+            jax.ShapeDtypeStruct((b, n_pad, hd), qkv.dtype),
+            jax.ShapeDtypeStruct((b, 1, hd), qkv.dtype),
+            jax.ShapeDtypeStruct((b, 1, hd), qkv.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n_pad, gd), jnp.float32),
+            pltpu.VMEM((bwd_block, gd), jnp.float32),
+            pltpu.VMEM((bwd_block, gd), jnp.float32),
+            pltpu.VMEM((1, gd), jnp.float32),
+            pltpu.VMEM((1, gd), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=_use_interpret(),
+    )(qkv, qkv, qkv, g, lse[..., None], delta[..., None], kc, vc)
+    dqkv = jnp.concatenate([dq[:, :n], dk[:, :n], dv[:, :n]], axis=-1)
+    return dqkv, dkc, dvc
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash_packed_fused(qkv, kc, vc, scale, block, d, extra_pad):
+    return _fwd_packed_qkv(qkv, kc, vc, scale, block, d, extra_pad)
+
+
+def _flash_packed_fused_fwd(qkv, kc, vc, scale, block, d, extra_pad):
+    out, lse = _fwd_packed_qkv(qkv, kc, vc, scale, block, d, extra_pad)
+    return (out, lse), (qkv, kc, vc, out, lse)
+
+
+_flash_packed_fused.defvjp(_flash_packed_fused_fwd, _bwd_packed_qkv)
+
+
+def flash_attention_packed_qkv(qkv, num_heads: int,
+                               scale: float | None = None,
+                               no_max: bool = True):
+    """qkv: [B, N, 3*H*D], the raw fused Wqkv projection -> [B, N, H*D].
+
+    Same math as flash_attention_packed but the kernels consume the
+    fused buffer directly (minor-offset BlockSpecs), so the q/k/v
+    slices never materialize; the backward concatenates dq/dk/dv once
+    into dqkv.  Falls back to the sliced path for shapes the packed
+    kernels don't serve."""
+    b, n, hd3 = qkv.shape
+    hd = hd3 // 3
+    d = hd // num_heads
+    if scale is None:
+        scale = d ** -0.5
+    G = max(1, 128 // d) if d < 128 else 1
+    ok = (num_heads % G == 0) and (128 % d == 0 or d % 128 == 0)
+    if not no_max or not ok:
+        q, k, v = (qkv[:, :, i * hd:(i + 1) * hd] for i in range(3))
+        return flash_attention_packed(q, k, v, num_heads, scale=scale,
+                                      no_max=no_max)
+
+    if n % 128 == 1 and n > 128:
+        block = _pick_block(n - 1, FWD_BLOCK_TARGET)
+        tok = qkv[:, 1:]
+        kc = qkv[:, :1, hd:2 * hd]
+        vc = qkv[:, :1, 2 * hd:]
+        out_tok, _ = _flash_packed_fused(tok, kc, vc, float(scale), block,
+                                         d, 0)
+        # cls query row, per head, on reshaped views (plain XLA)
+        qc = qkv[:, :1, :hd].reshape(b, 1, num_heads, d)
+        kr = qkv[:, :, hd:2 * hd].reshape(b, n, num_heads, d)
+        vr = qkv[:, :, 2 * hd:].reshape(b, n, num_heads, d)
+        s_row = jnp.einsum("bohd,bnhd->bhon", qc, kr,
+                           preferred_element_type=jnp.float32) * scale
+        p_row = jax.nn.softmax(s_row, axis=-1)
+        out_cls = jnp.einsum("bhon,bnhd->bohd", p_row.astype(qkv.dtype), vr,
+                             preferred_element_type=jnp.float32)
+        out_cls = out_cls.astype(qkv.dtype).reshape(b, 1, hd)
+        return jnp.concatenate([out_cls, out_tok], axis=1)
+
+    block = _pick_block(n, FWD_BLOCK_TARGET)
+    zc = jnp.zeros((b, 1, hd), qkv.dtype)
+    out, _ = _flash_packed_fused(qkv, zc, zc, float(scale), block, d, 1)
+    return out
+
+
 def flash_attention_packed(q, k, v, num_heads: int,
                            scale: float | None = None, no_max: bool = True):
     """q, k, v: [B, N, H*D] (packed heads, the natural qkv-projection

@@ -50,7 +50,12 @@ def random_masking(
         noise = noise + (pre_mask > 0).astype(noise.dtype)
 
     ids_shuffle = jnp.argsort(noise, axis=1)
-    ids_restore = jnp.argsort(ids_shuffle, axis=1)
+    # inverse permutation via scatter instead of a second argsort: TPU
+    # sorts are VPU-bound bitonic networks (O(L log^2 L)); the scatter is
+    # one pass.  Identical result: ids_restore[ids_shuffle[i]] = i.
+    ids_restore = jnp.zeros_like(ids_shuffle).at[
+        jnp.arange(batch)[:, None], ids_shuffle
+    ].set(jnp.broadcast_to(jnp.arange(length)[None, :], (batch, length)))
     ids_keep = ids_shuffle[:, :len_keep]
 
     mask = jnp.ones((batch, length), dtype=jnp.float32)

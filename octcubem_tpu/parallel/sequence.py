@@ -35,7 +35,8 @@ except ImportError:  # pragma: no cover
 def sequence_parallel_attention(q, k, v, mesh: Mesh, axis: str = "sp",
                                 scale: float | None = None,
                                 no_max: bool = True,
-                                n_valid: int | None = None):
+                                n_valid: int | None = None,
+                                batch_axis: str | None = None):
     """q, k, v: [B, H, N, D] with N sharded over ``axis`` -> [B, H, N, D]
     sharded the same way.  Differentiable; grads of k/v are
     reduce-scattered back to their shards by the all_gather transpose.
@@ -47,6 +48,10 @@ def sequence_parallel_attention(q, k, v, mesh: Mesh, axis: str = "sp",
     correction is exact and the zeroing VJP discards the tail's grad
     contributions) and masked out of every query's softmax; pad QUERY
     rows produce garbage the caller slices off.
+
+    batch_axis: optional mesh axis the BATCH dim is sharded over — the
+    composed dp x sp case (mesh ('data','sp')); None replicates batch
+    across the sp groups.
 
     The kv gather happens inside shard_map so XLA emits one ICI
     all-gather per tensor, overlapping with the first kernel tiles
@@ -69,30 +74,40 @@ def sequence_parallel_attention(q, k, v, mesh: Mesh, axis: str = "sp",
         return flash_attention_rect(ql, kf, vf, scale=scale, no_max=no_max,
                                     kv_valid=kv_valid)
 
-    spec = P(None, None, axis, None)
+    spec = P(batch_axis, None, axis, None)
     return shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
                      out_specs=spec, check_rep=False)(q, k, v)
 
 
 def ring_attention(q, k, v, mesh: Mesh, axis: str = "sp",
-                   scale: float | None = None):
-    """Ring attention: like sequence_parallel_attention but k/v memory
-    stays O(N/sp) per chip — each shard's key/value block rotates around
+                   scale: float | None = None,
+                   batch_axis: str | None = None):
+    """Ring attention with O(N/sp) k/v memory per chip — in BOTH
+    directions of autodiff.  Each shard's key/value block rotates around
     the ring (ppermute) while every query shard folds the visiting block
-    into its online-softmax state via the kernel's logsumexp output
-    (the blockwise/ring formulation of flash attention; the scaling-book
-    collective pattern for long-context).
+    into its online-softmax state via the kernel's logsumexp output (the
+    blockwise/ring formulation of flash attention).
 
-    q, k, v: [B, H, N, D] with N sharded over ``axis``.  Differentiable:
-    ppermute and lax.scan are differentiable, and the rect kernel's lse
-    output carries its cotangent into the fused backward.  Use when the
-    gathered k/v of sequence_parallel_attention would not fit; for the
-    model's native token counts the all-gather form is faster (one
-    collective instead of sp serialized kernel calls)."""
+    q, k, v: [B, H, N, D] with N sharded over ``axis``.  The backward is
+    a hand-written custom VJP that re-rotates k/v around the ring and
+    accumulates (dk, dv) in travelling accumulators that arrive home
+    after a full cycle, so training memory stays O(N/sp): the only saved
+    residuals are the local (q, k, v, out, lse) blocks — the naive
+    lax.scan autodiff would instead save every visiting (kc, vc) pair,
+    i.e. O(N) per chip.  Each ring step's (q_i, k_j) pair gradient uses
+    the GLOBAL lse/out, which makes the per-pair fused flash backward
+    exact for the global softmax.  (Second-order autodiff through the
+    hand-written bwd is not supported.)
+
+    batch_axis: optional mesh axis the batch dim is sharded over
+    (composed dp x sp).  Use when the gathered k/v of
+    sequence_parallel_attention would not fit; for the model's native
+    token counts the all-gather form is faster (one collective instead
+    of sp serialized kernel calls)."""
     import jax.numpy as jnp
 
-    from ..ops.flash_attention import (FWD_BLOCK_TARGET, _flash_bh_rect,
-                                       _pick_block)
+    from ..ops.flash_attention import (FWD_BLOCK_TARGET, _bwd_rect,
+                                       _flash_bh_rect, _pick_block)
 
     b, h, n, d = q.shape
     n_sp = mesh.shape[axis]
@@ -105,30 +120,72 @@ def ring_attention(q, k, v, mesh: Mesh, axis: str = "sp",
     perm = [(i, (i + 1) % n_sp) for i in range(n_sp)]
 
     def local(ql, kl, vl):
-        bh = b * h
+        bh = ql.shape[0] * h
         ql = ql.reshape(bh, n_loc, d)
         kl = kl.reshape(bh, n_loc, d)
         vl = vl.reshape(bh, n_loc, d)
 
-        def step(carry, _):
-            out, lse, kc, vc = carry
-            o_i, l_i = _flash_bh_rect(ql, kc, vc, float(scale), block_q,
-                                      block_k, True)
-            new_lse = jnp.logaddexp(lse, l_i)
-            w_old = jnp.exp(lse - new_lse)[..., None]
-            w_new = jnp.exp(l_i - new_lse)[..., None]
-            out = out * w_old + o_i.astype(jnp.float32) * w_new
-            kc = jax.lax.ppermute(kc, axis, perm)
-            vc = jax.lax.ppermute(vc, axis, perm)
-            return (out, new_lse, kc, vc), None
+        def fwd_scan(ql, kl, vl):
+            def step(carry, _):
+                out, lse, kc, vc = carry
+                o_i, l_i = _flash_bh_rect(ql, kc, vc, float(scale), block_q,
+                                          block_k, True)
+                new_lse = jnp.logaddexp(lse, l_i)
+                w_old = jnp.exp(lse - new_lse)[..., None]
+                w_new = jnp.exp(l_i - new_lse)[..., None]
+                out = out * w_old + o_i.astype(jnp.float32) * w_new
+                kc = jax.lax.ppermute(kc, axis, perm)
+                vc = jax.lax.ppermute(vc, axis, perm)
+                return (out, new_lse, kc, vc), None
 
-        out0 = jnp.zeros((bh, n_loc, d), jnp.float32)
-        lse0 = jnp.full((bh, n_loc), -jnp.inf, jnp.float32)
-        (out, _, _, _), _ = jax.lax.scan(
-            step, (out0, lse0, kl, vl), None, length=n_sp)
-        return out.astype(q.dtype).reshape(b, h, n_loc, d)
+            out0 = jnp.zeros((bh, n_loc, d), jnp.float32)
+            lse0 = jnp.full((bh, n_loc), -jnp.inf, jnp.float32)
+            (out, lse, _, _), _ = jax.lax.scan(
+                step, (out0, lse0, kl, vl), None, length=n_sp)
+            return out.astype(q.dtype), lse
 
-    spec = P(None, None, axis, None)
+        @jax.custom_vjp
+        def ring(ql, kl, vl):
+            return fwd_scan(ql, kl, vl)[0]
+
+        def ring_fwd(ql, kl, vl):
+            out, lse = fwd_scan(ql, kl, vl)
+            return out, (ql, kl, vl, out, lse)
+
+        def ring_bwd(res, dout):
+            ql, kl, vl, out, lse = res
+            zero_lse_ct = jnp.zeros_like(lse)
+
+            def step(carry, _):
+                kc, vc, dkc, dvc, dq = carry
+                # per-pair fused flash bwd with the GLOBAL out/lse: the
+                # recomputed P_ij = exp(s*scale - lse) is the global
+                # softmax restricted to this k block, so dq/dk/dv
+                # contributions are exact partial sums
+                dq_p, dk_p, dv_p = _bwd_rect(
+                    float(scale), block_q, block_k, True, None,
+                    (ql, kc, vc, out, lse), (dout, zero_lse_ct))
+                dq = dq + dq_p.astype(jnp.float32)
+                dkc = dkc + dk_p.astype(jnp.float32)
+                dvc = dvc + dv_p.astype(jnp.float32)
+                # (k, v) and their grad accumulators travel TOGETHER so
+                # after the full n_sp cycle each dk/dv block is home with
+                # every query shard's contribution
+                kc, vc, dkc, dvc = (jax.lax.ppermute(x, axis, perm)
+                                    for x in (kc, vc, dkc, dvc))
+                return (kc, vc, dkc, dvc, dq), None
+
+            zeros_kv = jnp.zeros((bh, n_loc, d), jnp.float32)
+            (_, _, dk, dv, dq), _ = jax.lax.scan(
+                step, (kl, vl, zeros_kv, zeros_kv, zeros_kv), None,
+                length=n_sp)
+            return (dq.astype(ql.dtype), dk.astype(kl.dtype),
+                    dv.astype(vl.dtype))
+
+        ring.defvjp(ring_fwd, ring_bwd)
+        return ring(ql, kl, vl).reshape(-1, h, n_loc, d)
+
+    spec = P(batch_axis, None, axis, None)
     return shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
                      out_specs=spec, check_rep=False)(q, k, v)
 
@@ -157,19 +214,23 @@ def shard_sequence(x, mesh: Mesh, axis: str = "sp", dim: int = 2):
 
 import contextlib
 
-_SP_CONTEXT: list[tuple[Mesh, str]] = []
+_SP_CONTEXT: list[tuple[Mesh, str, str | None]] = []
 
 
 @contextlib.contextmanager
-def use_sequence_parallel(mesh: Mesh, axis: str = "sp"):
-    _SP_CONTEXT.append((mesh, axis))
+def use_sequence_parallel(mesh: Mesh, axis: str = "sp",
+                          batch_axis: str | None = None):
+    """batch_axis: mesh axis the batch dim is sharded over for the
+    composed dp x sp case (e.g. Mesh ('data','sp') with
+    batch_axis='data'); None = batch replicated across sp groups."""
+    _SP_CONTEXT.append((mesh, axis, batch_axis))
     try:
         yield
     finally:
         _SP_CONTEXT.pop()
 
 
-def current_sp() -> tuple[Mesh, str]:
+def current_sp() -> tuple[Mesh, str, str | None]:
     if not _SP_CONTEXT:
         raise RuntimeError(
             "attn_impl='flash_sp' requires an active use_sequence_parallel "

@@ -22,7 +22,8 @@ from .train_state import TrainState
 
 
 def make_mae_train_step(model, tx, joint: bool = False,
-                        use_premask: bool = False, accum_iter: int = 1):
+                        use_premask: bool = False, accum_iter: int = 1,
+                        compute_grad_norm: bool = True):
     """Returns step(state, batch3d, mask_ratio, batch2d?, mask_ratio_2d?,
     pre_mask?) -> (state, metrics).
 
@@ -72,7 +73,11 @@ def make_mae_train_step(model, tx, joint: bool = False,
             loss_fn, has_aux=True)(state.params, rng, batch3d, mask_ratio,
                                    batch2d, mask_ratio_2d, pre_mask)
         state = state.apply_gradients(tx, grads).replace(rng=new_rng)
-        gn = optax_global_norm(grads)
+        # the global-norm metric is an extra full read of all grads
+        # (~1.2GB at ViT-L) unless XLA fuses it into the update pass;
+        # compute_grad_norm=False drops it for throughput benches
+        gn = (optax_global_norm(grads) if compute_grad_norm
+              else jnp.zeros(()))
         metrics = {"loss": total, "loss_3d": l3, "loss_2d": l2,
                    "frame_losses": fl, "grad_norm": gn}
         return state, metrics

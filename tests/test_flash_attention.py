@@ -165,6 +165,45 @@ def test_packed_kernel_matches_naive(n, h):
                                    atol=5e-4, rtol=5e-4)
 
 
+@pytest.mark.parametrize("n,h", [(257, 4), (256, 4), (200, 4), (385, 8)])
+def test_fused_qkv_kernel_matches_naive(n, h):
+    """flash_attention_packed_qkv: the kernels read q/k/v from the FUSED
+    [B, N, 3*H*D] Wqkv buffer via minor-offset BlockSpecs (no slice
+    materialization); fwd+grads must match naive attention at both the
+    cls (n%128==1) and phantom-cls shapes."""
+    from octcubem_tpu.ops.flash_attention import flash_attention_packed_qkv
+
+    b, d = 1, 32
+    q, k, v = _rand_qkv(jax.random.key(41), b, h, n, d)
+
+    def packed(x):
+        return x.transpose(0, 2, 1, 3).reshape(b, n, h * d)
+
+    def unpack(x):
+        return x.reshape(b, n, h, d).transpose(0, 2, 1, 3)
+
+    qkv = jnp.concatenate([packed(q), packed(k), packed(v)], axis=-1)
+    out = unpack(flash_attention_packed_qkv(qkv, h))
+    ref = naive_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-5, rtol=5e-5)
+
+    def loss_fused(qkv):
+        return (flash_attention_packed_qkv(qkv, h)
+                .astype(jnp.float32) ** 2).sum()
+
+    def loss_naive(q, k, v):
+        return (naive_attention(q, k, v).astype(jnp.float32) ** 2).sum()
+
+    gf = jax.grad(loss_fused)(qkv)
+    gn = jax.grad(loss_naive, argnums=(0, 1, 2))(q, k, v)
+    hd = h * d
+    for i, g_ref in enumerate(gn):
+        got = unpack(gf[:, :, i * hd:(i + 1) * hd])
+        np.testing.assert_allclose(np.asarray(got), np.asarray(g_ref),
+                                   atol=5e-4, rtol=5e-4)
+
+
 @pytest.mark.parametrize("n", [257, 256, 200])
 def test_packed_layout_matches_naive(n):
     """flash_attention_packed ([B, N, H*D], no transposes) through the
