@@ -86,8 +86,11 @@ def main(argv=None):
     parser.add_argument("--preset", default="octcube_ir")
     parser.add_argument("--model_config", default=None,
                         help="COEM JSON config name/path (models/configs)")
-    parser.add_argument("--data_dir", default=None,
-                        help="paired OCT/IR(/FAF) tree (docs/DATA.md)")
+    parser.add_argument("--data_dir", default=None, action="append",
+                        help="paired OCT/IR(/FAF) tree (docs/DATA.md); "
+                             "repeatable — multiple roots are concatenated "
+                             "behind one loader (AggregatedDataset, "
+                             "multimodal_dataset.py:538)")
     parser.add_argument("--synthetic", action="store_true")
     parser.add_argument("--synthetic_n", type=int, default=32)
     parser.add_argument("--epochs", type=int, default=None)
@@ -140,24 +143,38 @@ def main(argv=None):
     esize = ecfg.get("img_size", 384)
 
     if args.data_dir:
-        from ..data.multimodal import (PairedOCTEnfaceDataset,
+        from ..data.multimodal import (AggregatedPairedDataset,
+                                       PairedOCTEnfaceDataset,
                                        scan_paired_directory)
 
-        ds = PairedOCTEnfaceDataset(
-            scan_paired_directory(args.data_dir), num_frames=frames,
-            oct_size=osize, enface_size=esize)
-        if len(ds) == 0:
-            raise ValueError(
-                f"no paired OCT+IR visits found under {args.data_dir} "
-                "(expected patient/visit dirs with oct_*.png + ir.png — "
-                "see docs/DATA.md)")
+        sources = []
+        for root in args.data_dir:
+            d = PairedOCTEnfaceDataset(
+                scan_paired_directory(root), num_frames=frames,
+                oct_size=osize, enface_size=esize)
+            if len(d) == 0:
+                raise ValueError(
+                    f"no paired OCT+IR visits found under {root} "
+                    "(expected patient/visit dirs with oct_*.png + ir.png — "
+                    "see docs/DATA.md)")
+            sources.append(d)
+        ds = (sources[0] if len(sources) == 1
+              else AggregatedPairedDataset(sources))
     else:
         ds = SyntheticPairs(args.synthetic_n, frames, osize, esize, three_mod)
 
     # patient-level train/val split: retrieval is evaluated on HELD-OUT
     # pairs only (reference main_retclip.py:270 + train_retclip.py:243-249
-    # evaluate a separate val loader, never the train set)
-    ds_train, ds_val = _split_train_val(ds, val_frac=0.2, seed=cfg.seed)
+    # evaluate a separate val loader, never the train set).  Aggregated
+    # multi-source data splits per source, so every source contributes to
+    # both sides and dataset_idx stays stable across the split.
+    if args.data_dir and len(args.data_dir) > 1:
+        halves = [_split_train_val(d, val_frac=0.2, seed=cfg.seed)
+                  for d in ds.datasets]
+        ds_train = AggregatedPairedDataset([h[0] for h in halves])
+        ds_val = AggregatedPairedDataset([h[1] for h in halves])
+    else:
+        ds_train, ds_val = _split_train_val(ds, val_frac=0.2, seed=cfg.seed)
     log.info(f"train/val pairs: {len(ds_train)}/{len(ds_val)}")
 
     mesh = meshlib.make_mesh(n_data=cfg.n_data, n_fsdp=cfg.n_fsdp)
@@ -204,11 +221,16 @@ def main(argv=None):
                                             drop_keys=("head",))
             log.info(f"initialized {prefix} from {ckpt_path}")
 
-    # LiT locking via zero-lr masking: freeze the visual trunk except the
-    # last `lock_image_unlocked_groups` groups — [... blocks, last
-    # block+norm, head group] ordering per the reference lock()
-    # (models_vit_st_flash_attn_nodrop.py:308-351)
+    # LiT locking: freeze the visual trunk except the last
+    # `lock_image_unlocked_groups` groups — [... blocks, last block+norm,
+    # head group] ordering per the reference lock()
+    # (models_vit_st_flash_attn_nodrop.py:308-351).  Default lock_mode
+    # 'partition' is REAL freezing: grads are taken over the trainable
+    # split only (no frozen backward) and the optimizer carries no
+    # moments for frozen params; 'zero_scale' keeps the legacy
+    # zero-scaled-update fallback.
     trainable_scales = None
+    partition = None
     if cfg.lock_image and hasattr(model, "visual"):
         import re
 
@@ -228,16 +250,32 @@ def main(argv=None):
                 return 1.0
             return 0.0
 
-        trainable_scales = jax.tree_util.tree_map_with_path(scale, params)
+        scales = jax.tree_util.tree_map_with_path(scale, params)
+        if cfg.lock_mode == "zero_scale":
+            trainable_scales = scales
+        else:
+            partition = optim.make_partition(
+                jax.tree.map(lambda s: s > 0, scales))
+        n_frozen = sum(int(s == 0) for s in jax.tree.leaves(scales))
+        log.info(f"LiT lock ({cfg.lock_mode}): {n_frozen} frozen param "
+                 f"tensors, {n_unlocked} unlocked groups")
 
     steps_per_epoch = max(1, len(ld))
     sched = schedules.clip_cosine_lr(cfg.lr, cfg.warmup_steps,
                                      cfg.epochs * steps_per_epoch)
-    tx = optim.build_adamw(params, sched, cfg.weight_decay, betas=(0.9, 0.98))
-    if trainable_scales is not None:
-        import optax
-        tx = optax.chain(tx, optim.scale_by_tree(trainable_scales))
-    state = TrainState.create(params, tx, jax.random.key(cfg.seed + 1))
+    if partition is not None:
+        tr0, _ = partition[0](params)
+        tx = optim.build_adamw(tr0, sched, cfg.weight_decay,
+                               betas=(0.9, 0.98))
+        state = TrainState.create(params, tx, jax.random.key(cfg.seed + 1),
+                                  tx_params=tr0)
+    else:
+        tx = optim.build_adamw(params, sched, cfg.weight_decay,
+                               betas=(0.9, 0.98))
+        if trainable_scales is not None:
+            import optax
+            tx = optax.chain(tx, optim.scale_by_tree(trainable_scales))
+        state = TrainState.create(params, tx, jax.random.key(cfg.seed + 1))
     start_epoch = 0
     ckpt_dir = os.path.join(cfg.output_dir, "ckpt")
     if cfg.resume == "latest" and ckpt_lib.latest_step(ckpt_dir) is not None:
@@ -248,18 +286,22 @@ def main(argv=None):
         start_epoch = (extra or {}).get("epoch", 0) + 1
         log.info(f"resumed from epoch {start_epoch - 1}")
     if accum > 1:
-        step_fn = (clip_engine.make_clip_accum_train_step_3mod(model, tx, accum)
+        step_fn = (clip_engine.make_clip_accum_train_step_3mod(
+                       model, tx, accum, partition=partition)
                    if three_mod
-                   else clip_engine.make_clip_accum_train_step(model, tx, accum))
+                   else clip_engine.make_clip_accum_train_step(
+                       model, tx, accum, partition=partition))
     else:
         step_fn = clip_engine.make_clip_train_step(model, tx,
-                                                   three_mod=three_mod)
+                                                   three_mod=three_mod,
+                                                   partition=partition)
     jsonl = JsonlLogger(cfg.output_dir, "results.jsonl")
     # --report-to tensorboard equivalent (main_retclip.py:283-308)
     tb = TBWriter(os.path.join(cfg.output_dir, "tb"))
 
     def eval_epoch(epoch):
-        batches = [to_batch(b) for b in ld_eval]
+        raw = list(ld_eval)
+        batches = [to_batch(b) for b in raw]
         save = args.save_retrieval_results or cfg.save_retrieval_results
         result = clip_engine.evaluate_retrieval(
             model, state.params, batches, three_mod=three_mod,
@@ -268,10 +310,29 @@ def main(argv=None):
         jsonl.write({"epoch": epoch, **metrics})
         if save:
             # feature bank for the offline evaluator
-            # (cli/retrieval_eval.py; reference train_retclip.py:373-395)
+            # (cli/retrieval_eval.py; reference train_retclip.py:373-395).
+            # Row-aligned item keys + source paths ride along so the
+            # evaluator can reload images and render top-3 panels
+            # (retDisease_eval/…top3_col_aireadi_laterality.py:61-114).
+            payload = {"metrics": metrics, **features}
+            keys = []
+            for b in raw:
+                if isinstance(b, dict) and "__key__" in b:
+                    keys.extend(b["__key__"])
+            if keys:
+                payload["keys"] = keys
+                recs = (ds_val.key_to_record()
+                        if hasattr(ds_val, "key_to_record") else
+                        {f"{r.visit.patient_id}/{r.visit.visit_id}": r
+                         for r in getattr(ds_val, "records", [])})
+                payload["paths"] = {
+                    k: {"oct": recs[k].visit.frames[0],
+                        "enface1": recs[k].ir_path,
+                        "enface2": recs[k].faf_path}
+                    for k in keys if k in recs}
             with open(os.path.join(cfg.output_dir,
                                    f"retrieval_results_{epoch}.pkl"), "wb") as f:
-                pickle.dump({"metrics": metrics, **features}, f)
+                pickle.dump(payload, f)
         return metrics
 
     if cfg.evaluate_only:

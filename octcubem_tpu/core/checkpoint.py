@@ -66,6 +66,24 @@ def delete_recent_checkpoints(ckpt_dir: str, n: int) -> list[int]:
     return deleted
 
 
+def restore_raw(ckpt_dir: str, step: int | None = None) -> tuple[Any, int]:
+    """Restore the raw checkpoint pytree (nested dicts of arrays) WITHOUT
+    a template — for partial / cross-model loads, e.g. initializing the
+    COEM classification towers from a trained retclip run's TrainState
+    (the reference loads the contrastive state_dict into the
+    Classification model strict=False,
+    main_retclip_finetune_more_cls_3mod.py:452-470)."""
+    if step is None:
+        step = latest_step(ckpt_dir)
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
+    mgr = _manager(ckpt_dir)
+    out = mgr.restore(step, args=ocp.args.Composite(
+        state=ocp.args.StandardRestore()))
+    mgr.close()
+    return out["state"], step
+
+
 def restore_checkpoint(ckpt_dir: str, state_template: Any,
                        step: int | None = None) -> tuple[Any, dict | None, int]:
     """Restore (state, extra, step). step=None -> latest."""

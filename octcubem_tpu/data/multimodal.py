@@ -293,6 +293,23 @@ class OCTFAFIRClsDataset:
         assert len(self._inner) == len(self.records), \
             "cls manifest rows must carry the paths their mode requires"
 
+    def cv_indices(self, val_split: int) -> tuple[list[int], list[int]]:
+        """(train_rows, val_rows) for one CV fold — the snapshot form of
+        update_dataset_indexing('cv_train'/'cv_test', val_split)
+        (multimodal_dataset.py:1394-1420) so both sides can be served
+        from one instance simultaneously."""
+        tr = [i for i, s in enumerate(self.split_list) if s != val_split]
+        va = [i for i, s in enumerate(self.split_list) if s == val_split]
+        return tr, va
+
+    def raw_label_stats(self, rows: list[int]) -> tuple[np.ndarray, np.ndarray]:
+        """Mean/std of the (unstandardized) labels over `rows` — the
+        reference standardizes val/test with the TRAIN-set statistics
+        (multimodal_dataset.py:1338-1350 preset_label_mean/std).
+        Requires standardize=False at construction."""
+        sub = self.labels[rows]
+        return sub.mean(axis=0), np.maximum(sub.std(axis=0), 1e-6)
+
     def update_dataset_indexing(self, indexing: str = "all",
                                 val_split: int = 0) -> None:
         self.indexing = indexing
@@ -315,6 +332,74 @@ class OCTFAFIRClsDataset:
         sample = self._inner[j]
         sample["label"] = self.labels[j]
         return sample
+
+
+class AggregatedPairedDataset:
+    """Multi-source concatenation behind one loader (AggregatedDataset,
+    multimodal_dataset.py:538-650): cumulative-size index dispatch into
+    the child datasets, with the originating source recorded per sample
+    as ``dataset_idx`` — the reference's custom_collate_fn carries the
+    same field in its info tuple (:319-362).
+
+    Children are PairedOCTEnfaceDataset-like (dict samples).  A shared
+    ``mode`` is not enforced here; build each child with its own mode
+    (the reference's get_data combined path builds per-source datasets
+    too)."""
+
+    def __init__(self, datasets: list):
+        assert datasets, "need at least one source dataset"
+        self.datasets = list(datasets)
+        sizes = [len(d) for d in self.datasets]
+        self.cumulative_sizes = np.cumsum(sizes).tolist()
+
+    @property
+    def records(self):
+        # aggregated view so patient-level splitting keeps working
+        out = []
+        for d in self.datasets:
+            out.extend(getattr(d, "records", []))
+        return out
+
+    def __len__(self):
+        return self.cumulative_sizes[-1]
+
+    def _locate(self, idx: int) -> tuple[int, int]:
+        if not 0 <= idx < len(self):
+            raise IndexError(idx)
+        for k, cum in enumerate(self.cumulative_sizes):
+            if idx < cum:
+                prev = self.cumulative_sizes[k - 1] if k else 0
+                return k, idx - prev
+        raise IndexError(idx)
+
+    def __getitem__(self, idx):
+        k, local = self._locate(idx)
+        sample = dict(self.datasets[k][local])
+        sample["dataset_idx"] = np.int32(k)
+        # source-prefixed key: patient/visit ids are only unique within a
+        # source, and retrieval dumps key rows globally
+        if "__key__" in sample:
+            sample["__key__"] = f"ds{k}/{sample['__key__']}"
+        return sample
+
+    def key_to_record(self) -> dict:
+        """{prefixed __key__: PairedRecord} across all sources."""
+        out = {}
+        for di, child in enumerate(self.datasets):
+            for r in getattr(child, "records", []):
+                out[f"ds{di}/{r.visit.patient_id}/{r.visit.visit_id}"] = r
+        return out
+
+    # epoch propagation hook for Loader.set_epoch
+    @property
+    def epoch(self):
+        return getattr(self.datasets[0], "epoch", 0)
+
+    @epoch.setter
+    def epoch(self, e):
+        for d in self.datasets:
+            if hasattr(d, "epoch"):
+                d.epoch = e
 
 
 def collate_paired(samples: list[dict]) -> tuple[dict, list[str]]:

@@ -75,12 +75,36 @@ def three_modality_clip_loss(img, enf1, enf2, scale, scale1, scale2,
 
 # ------------------------------------------------------------- train steps
 
-def make_clip_train_step(model, tx, three_mod: bool = False):
+def _apply_partitioned(state: TrainState, tx, grads, trainable, frozen,
+                       merge, new_rng):
+    """Optimizer update over the trainable split only (real LiT locking,
+    optim.make_partition): tx state/moments cover the trainable subtree,
+    frozen params are merged back untouched."""
+    import optax
+
+    updates, new_opt = tx.update(grads, state.opt_state, trainable)
+    new_tr = optax.apply_updates(trainable, updates)
+    return state.replace(step=state.step + 1,
+                         params=merge(new_tr, frozen),
+                         opt_state=new_opt, rng=new_rng)
+
+
+def make_clip_train_step(model, tx, three_mod: bool = False,
+                         partition=None):
+    """partition: optional (split, merge) from optim.make_partition —
+    REAL LiT locking: grads/moments only exist for the trainable split
+    and the frozen tower prefix has no backward pass."""
+
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch):
         rng, new_rng = jax.random.split(state.rng)
+        if partition is not None:
+            trainable, frozen = partition[0](state.params)
+        else:
+            trainable, frozen = state.params, None
 
-        def loss_fn(params):
+        def loss_fn(tr):
+            params = partition[1](tr, frozen) if partition is not None else tr
             if three_mod:
                 img, e1, e2, s0, s1, s2 = model.apply(
                     params, batch["image"], batch["enface1"],
@@ -94,25 +118,34 @@ def make_clip_train_step(model, tx, three_mod: bool = False):
                 rngs={"dropout": rng})
             return clip_loss(img, enf, scale)
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        state = state.apply_gradients(tx, grads).replace(rng=new_rng)
+        loss, grads = jax.value_and_grad(loss_fn)(trainable)
+        if partition is not None:
+            state = _apply_partitioned(state, tx, grads, trainable, frozen,
+                                       partition[1], new_rng)
+        else:
+            state = state.apply_gradients(tx, grads).replace(rng=new_rng)
         return state, {"loss": loss, "grad_norm": optax_global_norm(grads)}
 
     return step
 
 
-def make_clip_accum_train_step(model, tx, accum_freq: int):
+def make_clip_accum_train_step(model, tx, accum_freq: int, partition=None):
     """Feature-cached gradient accumulation (the OpenCLIP algorithm,
     train_retclip.py:131-168): encode all chunks without grad, then for
     each chunk re-encode with grad and splice its features into the cached
     bank so every chunk sees the full effective batch as negatives.
 
     batch tensors have leading dim [accum_freq, chunk, ...].
+    partition: optional (split, merge) for real LiT locking.
     """
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch):
         rng, new_rng = jax.random.split(state.rng)
+        if partition is not None:
+            trainable, frozen = partition[0](state.params)
+        else:
+            trainable, frozen = state.params, None
 
         def encode(params, img, enf, r):
             return model.apply(params, img, enf, deterministic=False,
@@ -128,7 +161,8 @@ def make_clip_accum_train_step(model, tx, accum_freq: int):
         cached_img, cached_enf = jax.lax.map(
             lambda i: enc_chunk(i), jnp.arange(accum_freq))
 
-        def chunk_loss(params, i):
+        def chunk_loss(tr, i):
+            params = partition[1](tr, frozen) if partition is not None else tr
             img_i, enf_i, scale = encode(params, batch["image"][i],
                                          batch["enface"][i], rngs[i])
             img_all = jax.lax.dynamic_update_index_in_dim(
@@ -139,10 +173,10 @@ def make_clip_accum_train_step(model, tx, accum_freq: int):
 
         def accum(i, acc):
             grads, loss = acc
-            l, g = jax.value_and_grad(chunk_loss)(state.params, i)
+            l, g = jax.value_and_grad(chunk_loss)(trainable, i)
             return (jax.tree.map(jnp.add, grads, g), loss + l)
 
-        zero = jax.tree.map(jnp.zeros_like, state.params)
+        zero = jax.tree.map(jnp.zeros_like, trainable)
         grads, loss = jax.lax.fori_loop(0, accum_freq, accum, (zero, 0.0))
         # Chunk grads are SUMMED, not averaged: each chunk loss already
         # spans the full effective batch, and each sample's grad flows
@@ -150,18 +184,24 @@ def make_clip_accum_train_step(model, tx, accum_freq: int):
         # the full-batch gradient (reference train_retclip.py:131-168 does
         # one backward per chunk + a single optimizer.step).  The loss is
         # divided by accum_freq for logging only.
-        state = state.apply_gradients(tx, grads).replace(rng=new_rng)
+        if partition is not None:
+            state = _apply_partitioned(state, tx, grads, trainable, frozen,
+                                       partition[1], new_rng)
+        else:
+            state = state.apply_gradients(tx, grads).replace(rng=new_rng)
         return state, {"loss": loss / accum_freq,
                        "grad_norm": optax_global_norm(grads)}
 
     return step
 
 
-def make_clip_accum_train_step_3mod(model, tx, accum_freq: int):
+def make_clip_accum_train_step_3mod(model, tx, accum_freq: int,
+                                    partition=None):
     """3-modality feature-cached accumulation: modality-presence weights
     are stacked across chunks so each chunk's loss is masked over the
     full effective batch (train_retclip_3modalities.py:31-41).  Batch
-    tensors have leading dims [accum_freq, chunk, ...]."""
+    tensors have leading dims [accum_freq, chunk, ...].
+    partition: optional (split, merge) for real LiT locking."""
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch):
@@ -169,6 +209,10 @@ def make_clip_accum_train_step_3mod(model, tx, accum_freq: int):
         rngs = jax.random.split(rng, accum_freq)
         w1 = batch["weight1"].reshape(-1)
         w2 = batch["weight2"].reshape(-1)
+        if partition is not None:
+            trainable, frozen = partition[0](state.params)
+        else:
+            trainable, frozen = state.params, None
 
         def encode(params, i, r):
             return model.apply(params, batch["image"][i],
@@ -179,7 +223,8 @@ def make_clip_accum_train_step_3mod(model, tx, accum_freq: int):
             lambda i: encode(state.params, i, rngs[i])[:3],
             jnp.arange(accum_freq))
 
-        def chunk_loss(params, i):
+        def chunk_loss(tr, i):
+            params = partition[1](tr, frozen) if partition is not None else tr
             img_i, e1_i, e2_i, s0, s1, s2 = encode(params, i, rngs[i])
             full = [jax.lax.dynamic_update_index_in_dim(c, f, i, 0)
                     .reshape(-1, f.shape[-1])
@@ -188,18 +233,112 @@ def make_clip_accum_train_step_3mod(model, tx, accum_freq: int):
 
         def accum(i, acc):
             grads, loss = acc
-            l, g = jax.value_and_grad(chunk_loss)(state.params, i)
+            l, g = jax.value_and_grad(chunk_loss)(trainable, i)
             return (jax.tree.map(jnp.add, grads, g), loss + l)
 
-        zero = jax.tree.map(jnp.zeros_like, state.params)
+        zero = jax.tree.map(jnp.zeros_like, trainable)
         grads, loss = jax.lax.fori_loop(0, accum_freq, accum, (zero, 0.0))
         # summed, not averaged — each chunk loss spans the full effective
         # batch (see make_clip_accum_train_step)
-        state = state.apply_gradients(tx, grads).replace(rng=new_rng)
+        if partition is not None:
+            state = _apply_partitioned(state, tx, grads, trainable, frozen,
+                                       partition[1], new_rng)
+        else:
+            state = state.apply_gradients(tx, grads).replace(rng=new_rng)
         return state, {"loss": loss / accum_freq,
                        "grad_norm": optax_global_norm(grads)}
 
     return step
+
+
+# ------------------------------------------- classification fine-tune steps
+
+def make_clip_cls_train_step(model, tx, criterion, three_mod: bool = False,
+                             single_modality: str | None = None):
+    """Train step for the COEM classification fine-tune
+    (train_retclip_finetune_more_cls_3mod.py train_one_epoch): towers +
+    classification head, optional --single_modality ablation.  batch:
+    {'image', 'enface' | 'enface1'+'enface2', 'label'}."""
+    sm = single_modality
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, batch):
+        rng, new_rng = jax.random.split(state.rng)
+
+        def loss_fn(params):
+            if three_mod:
+                out = model.apply(params, batch["image"], batch["enface1"],
+                                  batch["enface2"], single_modality=sm,
+                                  deterministic=False, rngs={"dropout": rng})
+            else:
+                out = model.apply(params, batch["image"], batch["enface"],
+                                  single_modality=sm, deterministic=False,
+                                  rngs={"dropout": rng})
+            return criterion(out[0], batch["label"])
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        state = state.apply_gradients(tx, grads).replace(rng=new_rng)
+        return state, {"loss": loss, "grad_norm": optax_global_norm(grads)}
+
+    return step
+
+
+def make_clip_cls_predict_step(model, three_mod: bool = False,
+                               single_modality: str | None = None):
+    sm = single_modality
+
+    @jax.jit
+    def predict(params, batch):
+        if three_mod:
+            out = model.apply(params, batch["image"], batch["enface1"],
+                              batch["enface2"], single_modality=sm)
+        else:
+            out = model.apply(params, batch["image"], batch["enface"],
+                              single_modality=sm)
+        return out[0]
+
+    return predict
+
+
+def init_towers_from_retclip(params, ckpt_path: str, step: int | None = None):
+    """Initialize the classification model's towers from a TRAINED
+    retclip checkpoint (the reference loads the contrastive state_dict
+    into CustomTextCLIP(3Mod)Classification strict=False so only the
+    classification head stays fresh,
+    main_retclip_finetune_more_cls_3mod.py:452-470).
+
+    ckpt_path: a cli.retclip output dir, its ckpt/ dir, or a specific
+    step dir's parent.  Returns (new_params, n_copied_leaves)."""
+    import os
+
+    from ..core.checkpoint import restore_raw
+
+    if os.path.isdir(os.path.join(ckpt_path, "ckpt")):
+        ckpt_path = os.path.join(ckpt_path, "ckpt")
+    raw, _ = restore_raw(ckpt_path, step)
+    # raw is the retclip TrainState pytree: params live at raw['params']
+    src = raw["params"]
+    if "params" in src:
+        src = src["params"]          # {'visual': ..., 'enface': ..., ...}
+    dst = jax.tree.map(lambda x: x, params)  # shallow copy-on-write
+    clip_tree = dst["params"]["clip"]
+    copied = 0
+    new_clip = dict(clip_tree)
+    for key, sub in src.items():
+        if key in new_clip:
+            tmpl_leaves = jax.tree.leaves(new_clip[key])
+            src_leaves = jax.tree.leaves(sub)
+            if len(tmpl_leaves) != len(src_leaves):
+                raise ValueError(
+                    f"tower '{key}' structure mismatch between checkpoint "
+                    "and model (different configs?)")
+            new_clip[key] = jax.tree.map(
+                lambda t, s: jnp.asarray(s, t.dtype), new_clip[key], sub)
+            copied += len(src_leaves)
+    dst = {**dst, "params": {**dst["params"], "clip": new_clip}}
+    if copied == 0:
+        raise ValueError(f"no tower params found in {ckpt_path}")
+    return dst, copied
 
 
 # --------------------------------------------------------------- retrieval

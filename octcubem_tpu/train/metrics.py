@@ -165,6 +165,36 @@ def regression_metrics(y_true: np.ndarray, y_pred: np.ndarray) -> dict:
     }
 
 
+def multi_output_regression_metrics(y_true: np.ndarray,
+                                    y_pred: np.ndarray) -> dict:
+    """Per-target regression battery for GA-growth labels: the reference
+    tracks r2_k per label column where r2 = pearson(y_k, yhat_k)^2
+    (main_retclip_finetune_more_cls_3mod.py:48-50 compute_r2, best-val
+    tracking keyed on 'r2_{k}' at :104-126).  Also reports per-target
+    MSE/MAE and macro means."""
+    from scipy.stats import pearsonr
+
+    y_true = np.asarray(y_true, np.float64)
+    y_pred = np.asarray(y_pred, np.float64)
+    if y_true.ndim == 1:
+        y_true = y_true[:, None]
+    if y_pred.ndim == 1:
+        y_pred = y_pred[:, None]
+    out = {}
+    r2s = []
+    for k in range(y_true.shape[1]):
+        r = _safe(lambda: float(pearsonr(y_true[:, k], y_pred[:, k])[0]))
+        out[f"r2_{k}"] = r * r
+        out[f"pearson_r_{k}"] = r
+        out[f"mse_{k}"] = float(np.mean((y_true[:, k] - y_pred[:, k]) ** 2))
+        out[f"mae_{k}"] = float(np.mean(np.abs(y_true[:, k] - y_pred[:, k])))
+        r2s.append(r * r)
+    out["r2_macro"] = float(np.mean(r2s))
+    out["mse_macro"] = float(np.mean(
+        [out[f"mse_{k}"] for k in range(y_true.shape[1])]))
+    return out
+
+
 def compute_metrics(task_mode: str, y_true, y_pred, threshold=0.5) -> dict:
     """Dispatch mirroring evaluate()'s task-mode switch
     (engine_finetune.py:497-813)."""
@@ -176,5 +206,7 @@ def compute_metrics(task_mode: str, y_true, y_pred, threshold=0.5) -> dict:
         return multi_label_metrics(y_true, 1 / (1 + np.exp(-y_pred)), threshold)
     if task_mode == "regression":
         return regression_metrics(y_true, y_pred)
+    if task_mode == "multi_output_regression":
+        return multi_output_regression_metrics(y_true, y_pred)
     e = np.exp(y_pred - y_pred.max(axis=1, keepdims=True))
     return multi_class_metrics(y_true.astype(np.int64), e / e.sum(1, keepdims=True))

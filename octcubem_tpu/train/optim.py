@@ -72,6 +72,37 @@ def scale_by_tree(scales) -> optax.GradientTransformation:
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def make_partition(trainable_mask):
+    """(split, merge) helpers for REAL parameter freezing (LiT lock).
+
+    With the split applied before jax.value_and_grad, gradients are taken
+    over the trainable subtree only: the frozen prefix of the tower is a
+    constant of the loss, so autodiff never builds its backward pass, and
+    an optimizer built over the trainable subtree carries NO moments for
+    frozen params — matching the reference lock() semantics
+    (requires_grad=False, models_vit_st_flash_attn_nodrop.py:308-351)
+    rather than the zero-scaled-update fallback (optim.scale_by_tree),
+    which still differentiates and stores moments for frozen params.
+
+    trainable_mask: pytree of bools, same structure as params.
+    """
+    from flax import traverse_util
+
+    mask_flat = traverse_util.flatten_dict(trainable_mask, sep="/")
+    t_keys = {k for k, v in mask_flat.items() if v}
+
+    def split(params):
+        flat = traverse_util.flatten_dict(params, sep="/")
+        tr = {k: v for k, v in flat.items() if k in t_keys}
+        fz = {k: v for k, v in flat.items() if k not in t_keys}
+        return tr, fz
+
+    def merge(tr, fz):
+        return traverse_util.unflatten_dict({**tr, **fz}, sep="/")
+
+    return split, merge
+
+
 def build_adamw(
     params,
     learning_rate: float | Callable,

@@ -17,11 +17,16 @@ class TrainState:
     rng: jax.Array
 
     @classmethod
-    def create(cls, params, tx: optax.GradientTransformation, rng):
+    def create(cls, params, tx: optax.GradientTransformation, rng,
+               tx_params=None):
+        """tx_params: the subtree the optimizer actually operates on (the
+        trainable split under real LiT locking, optim.make_partition);
+        defaults to the full params tree."""
         import jax.numpy as jnp
 
         return cls(step=jnp.zeros((), jnp.int32), params=params,
-                   opt_state=tx.init(params), rng=rng)
+                   opt_state=tx.init(params if tx_params is None
+                                     else tx_params), rng=rng)
 
     def apply_gradients(self, tx: optax.GradientTransformation, grads):
         updates, new_opt = tx.update(grads, self.opt_state, self.params)

@@ -6,6 +6,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy CLI/e2e drives: -m 'not slow' skips
+
 
 def test_pretrain_cli_smoke(tmp_path):
     from octcubem_tpu.cli import pretrain
@@ -66,6 +68,84 @@ def test_pretrain_cli_real_joint_data(tmp_path):
     assert all(hard[k]["hardness"] > 0 for k in visited)
 
 
+def test_pretrain_resume_types(tmp_path):
+    """The two resume types beyond latest-restore (reference
+    main_pretrain_oph_joint_2d512_flash_attn.py:525-546):
+    training_continue_reset_optim restores params only (fresh optimizer,
+    epoch 0, SPL dict reload from load_spl_dir) and imagenet_ft converts
+    a supervised timm 2D checkpoint, dropping the classifier head."""
+    import jax
+    import numpy as np
+    import torch
+
+    from octcubem_tpu.cli import pretrain
+
+    out_a = str(tmp_path / "a")
+    state_a = pretrain.main(
+        ["--synthetic", "--tiny", "--epochs", "1", "--batch_size", "8",
+         "--steps_per_epoch", "1", "--output_dir", out_a])
+
+    # --- training_continue_reset_optim: params equal run A's final state,
+    # optimizer/step fresh, SPL dict reloaded
+    out_b = str(tmp_path / "b")
+    state_b = pretrain.main(
+        ["--synthetic", "--tiny", "--epochs", "0", "--batch_size", "8",
+         "--output_dir", out_b, "--resume", out_a,
+         "--resume_type", "training_continue_reset_optim",
+         "--load_spl_dir", out_a, "--epoch_load_spl", "0"])
+    la = jax.tree.leaves(state_a.params)
+    lb = jax.tree.leaves(state_b.params)
+    assert all(np.allclose(np.asarray(x), np.asarray(y))
+               for x, y in zip(la, lb))
+    assert int(state_b.step) == 0  # optimizer reset
+    assert int(state_a.step) > 0
+
+    # --- imagenet_ft: supervised timm-style 2D ckpt (fused qkv, final
+    # norm, 1000-class head + pre_logits) through the 2D->3D chain
+    d, p, hid = 64, 16, 256
+    rng = np.random.default_rng(3)
+
+    def t(*shape):
+        return torch.from_numpy(rng.standard_normal(shape).astype("f4"))
+
+    sd = {"cls_token": t(1, 1, d), "pos_embed": t(1, 197, d),
+          "patch_embed.proj.weight": t(d, 1, p, p),
+          "patch_embed.proj.bias": t(d),
+          "norm.weight": t(d), "norm.bias": t(d),
+          "head.weight": t(1000, d), "head.bias": t(1000),
+          "pre_logits.fc.weight": t(d, d)}
+    for i in range(2):
+        sd.update({
+            f"blocks.{i}.norm1.weight": t(d), f"blocks.{i}.norm1.bias": t(d),
+            f"blocks.{i}.attn.qkv.weight": t(3 * d, d),
+            f"blocks.{i}.attn.qkv.bias": t(3 * d),
+            f"blocks.{i}.attn.proj.weight": t(d, d),
+            f"blocks.{i}.attn.proj.bias": t(d),
+            f"blocks.{i}.norm2.weight": t(d), f"blocks.{i}.norm2.bias": t(d),
+            f"blocks.{i}.mlp.fc1.weight": t(hid, d),
+            f"blocks.{i}.mlp.fc1.bias": t(hid),
+            f"blocks.{i}.mlp.fc2.weight": t(d, hid),
+            f"blocks.{i}.mlp.fc2.bias": t(d)})
+    ckpt = str(tmp_path / "imagenet_ft.pth")
+    torch.save({"model": sd}, ckpt)
+
+    out_c = str(tmp_path / "c")
+    state_c = pretrain.main(
+        ["--synthetic", "--tiny", "--epochs", "0", "--batch_size", "8",
+         "--output_dir", out_c, "--init_ckpt", ckpt,
+         "--resume_type", "imagenet_ft"])
+    # conv kernel inflated over t and divided by t_patch (3), einsum layout
+    w2d = sd["patch_embed.proj.weight"].numpy()
+    want = (np.repeat(w2d[:, :, None], 3, axis=2) / 3).transpose(2, 3, 4, 1, 0)
+    got = np.asarray(state_c.params["params"]["patch_embed"]["kernel"])
+    assert np.allclose(got, want, atol=1e-6)
+    # the encoder block weights arrived (fused qkv path)
+    got_qkv = np.asarray(
+        state_c.params["params"]["blocks"]["blocks_0"]["mixer"]["Wqkv"]["kernel"])
+    assert np.allclose(got_qkv, sd["blocks.0.attn.qkv.weight"].numpy().T,
+                       atol=1e-6)
+
+
 def test_finetune_cli_smoke(tmp_path):
     from octcubem_tpu.cli import finetune
 
@@ -97,6 +177,169 @@ def test_retclip_cli_smoke_accum_heldout(tmp_path):
     assert rows and "image_to_enface_R@1" in rows[-1]
     # val split: 48 * 0.2 = 9 held-out pairs scored
     assert rows[-1]["image_to_enface_R@1"] >= 0.0
+
+
+def _write_paired_tree(root, rng, n_patients, size=40, frames=6,
+                       with_faf=False):
+    for p in range(n_patients):
+        d = root / f"p{p}" / "v0"
+        d.mkdir(parents=True)
+        for t in range(frames):
+            _write_png(str(d / f"oct_{t:03d}.png"), rng, size)
+        _write_png(str(d / "ir.png"), rng, size)
+        if with_faf:
+            _write_png(str(d / "faf.png"), rng, size)
+
+
+def test_retclip_multiroot_and_panels(tmp_path):
+    """Two data roots through one loader (AggregatedDataset,
+    multimodal_dataset.py:538) + the offline evaluator rendering query /
+    top-3 retrieval panels from the pkl's keys+paths
+    (retDisease_eval/evaluate_results_…laterality.py:61-114)."""
+    import pickle
+
+    from octcubem_tpu.cli import retclip, retrieval_eval
+
+    rng = np.random.default_rng(11)
+    root_a, root_b = tmp_path / "siteA", tmp_path / "siteB"
+    _write_paired_tree(root_a, rng, 10)
+    _write_paired_tree(root_b, rng, 8)
+
+    out = str(tmp_path / "rc")
+    retclip.main(["--preset", "octcube_ir",
+                  "--model_config", "vitl16_octcube_ir_tiny_test",
+                  "--data_dir", str(root_a), "--data_dir", str(root_b),
+                  "--batch_size", "8", "--epochs", "1",
+                  "--save_retrieval_results",
+                  "--output_dir", out])
+    pkl = os.path.join(out, "retrieval_results_0.pkl")
+    with open(pkl, "rb") as f:
+        d = pickle.load(f)
+    # keys row-aligned with features; every key resolves to image paths
+    assert len(d["keys"]) == len(d["image"])
+    assert all(k in d["paths"] for k in d["keys"])
+    assert all(d["paths"][k]["enface1"] for k in d["keys"])
+    # both sources contribute to the held-out split (per-source split,
+    # keys prefixed with the originating dataset_idx)
+    assert {k.split("/")[0] for k in d["keys"]} == {"ds0", "ds1"}
+    panels = str(tmp_path / "panels")
+    res = retrieval_eval.main([pkl, "--panels_dir", panels,
+                               "--n_queries", "2"])
+    assert res["panels_written"] == 2
+    pngs = sorted(os.listdir(panels))
+    assert len(pngs) == 2 and all(p.endswith(".png") for p in pngs)
+
+
+def _write_ga_fixture(tmp_path, rng, name, n_patients):
+    """Paired OCT+IR+FAF tree + GA-growth labels csv + manifest."""
+    import csv
+
+    from octcubem_tpu.data.multimodal import build_ga_manifest
+
+    root = tmp_path / name
+    _write_paired_tree(root, rng, n_patients, with_faf=True)
+    labels_csv = str(tmp_path / f"{name}_labels.csv")
+    with open(labels_csv, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["patient_id", "ga_area",
+                                          "ga_growth"])
+        w.writeheader()
+        for p in range(n_patients):
+            w.writerow({"patient_id": f"p{p}",
+                        "ga_area": round(float(rng.random() * 5), 3),
+                        "ga_growth": round(float(rng.random()), 3)})
+    manifest = str(tmp_path / f"{name}_manifest.csv")
+    n = build_ga_manifest(str(root), manifest, labels_csv=labels_csv,
+                          label_keys=["ga_area", "ga_growth"], n_splits=2)
+    assert n == n_patients
+    return manifest, str(root)
+
+
+def test_retclip_finetune_ga_growth_end_to_end(tmp_path):
+    """The real GA-growth classification fine-tune flow
+    (main_retclip_finetune_more_cls_3mod.py + multimodal_dataset.py:
+    1303-1496): 2-fold CV over a fixture manifest through
+    OCTFAFIRClsDataset, towers initialized from a TRAINED retclip
+    checkpoint (asserted), per-label best-val tracking with
+    INDEPENDENT-test metrics captured at best val, engine-step reuse."""
+    import json
+    import pickle  # noqa: F401
+
+    import jax
+
+    from octcubem_tpu.cli import retclip, retclip_finetune
+    from octcubem_tpu.core.checkpoint import restore_raw
+    from octcubem_tpu.train import clip_engine
+
+    rng = np.random.default_rng(23)
+    manifest, parent = _write_ga_fixture(tmp_path, rng, "ga", 20)
+    ind_manifest, _ = _write_ga_fixture(tmp_path, rng, "ga_ind", 8)
+
+    # 1) train a tiny contrastive retclip run -> the pretrained towers
+    rc_out = str(tmp_path / "rc")
+    retclip.main(["--preset", "octcube_ir",
+                  "--model_config", "vitl16_octcube_ir_tiny_test",
+                  "--synthetic", "--synthetic_n", "24",
+                  "--batch_size", "8", "--epochs", "1",
+                  "--output_dir", rc_out])
+
+    # 2) manifest fine-tune, 2-fold CV, independent test set, tower init
+    ft_out = str(tmp_path / "ft")
+    summary = retclip_finetune.main(
+        ["--manifest_csv", manifest, "--parent_dir", parent,
+         "--independent_manifest_csv", ind_manifest,
+         "--init_ckpt", rc_out, "--tiny",
+         "--label_keys", "ga_area,ga_growth",
+         "--multimodal_type", "9",  # oct3d_paired_faf_cls
+         "--k_folds", "2", "--epochs", "2", "--batch_size", "8",
+         "--output_dir", ft_out])
+
+    # per-label best-val + independent-test-at-best-val populated
+    assert summary["label_keys"] == ["ga_area", "ga_growth"]
+    for k in range(2):
+        for fi in range(2):
+            assert summary["best_val"][k][fi] is not None
+            assert f"r2_{k}" in summary["best_val"][k][fi]
+            assert summary["independent_test_at_best_val"][0][k][fi] \
+                is not None
+    # results.jsonl carries independent-test metrics every epoch
+    with open(os.path.join(ft_out, "results.jsonl")) as f:
+        rows = [json.loads(l) for l in f]
+    assert len(rows) == 4  # 2 folds x 2 epochs
+    assert all("ind0_r2_0" in r and "val_r2_1" in r for r in rows)
+    assert all(np.isfinite(r["train_loss"]) for r in rows)
+    # CV registry written with per-fold best checkpoints
+    with open(os.path.join(ft_out, "cv_registry.json")) as f:
+        reg = json.load(f)
+    assert set(reg.keys()) == {"0", "1"}
+
+    # 3) pretrained-init asserted structurally: init_towers_from_retclip
+    # copies the retclip visual tower bit-exactly into the cls params
+    from octcubem_tpu.models import coem
+
+    vcfg = dict(num_frames=6, t_patch_size=3, img_size=32, patch_size=16,
+                in_chans=1, embed_dim=32, depth=2, num_heads=2)
+    ecfg = dict(img_size=32, patch_size=16, in_chans=3, embed_dim=32,
+                depth=2, num_heads=2)
+    model = coem.COEP2TowerClassification(embed_dim=16, num_classes=2,
+                                          vision_cfg=vcfg, enface_cfg=ecfg)
+    img = np.zeros((1, 6, 32, 32, 1), np.float32)
+    enf = np.zeros((1, 32, 32, 3), np.float32)
+    params = model.init(jax.random.key(0), img, enf)
+    params2, copied = clip_engine.init_towers_from_retclip(params, rc_out)
+    assert copied > 10
+    raw, _ = restore_raw(os.path.join(rc_out, "ckpt"))
+    src_v = jax.tree.leaves(raw["params"]["params"]["visual"])
+    dst_v = jax.tree.leaves(params2["params"]["clip"]["visual"])
+    ini_v = jax.tree.leaves(params["params"]["clip"]["visual"])
+    assert any(not np.allclose(a, b) for a, b in zip(dst_v, ini_v))
+    for a, b in zip(src_v, dst_v):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the classification head stayed fresh (not in the retclip ckpt)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(
+            params2["params"]["classification_head"])[0]),
+        np.asarray(jax.tree.leaves(
+            params["params"]["classification_head"])[0]))
 
 
 def test_infer_cli_smoke(tmp_path):

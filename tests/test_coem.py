@@ -6,6 +6,7 @@ import jax.numpy as jnp
 
 from octcubem_tpu.models import coem
 from octcubem_tpu.train import clip_engine
+import pytest
 
 V_CFG = dict(num_frames=6, t_patch_size=3, img_size=32, patch_size=16,
              in_chans=1, embed_dim=32, depth=2, num_heads=2)
@@ -20,6 +21,7 @@ def _inputs(b=4):
     return img, enf
 
 
+@pytest.mark.slow
 def test_two_tower_forward():
     m = coem.COEP2Tower(embed_dim=16, vision_cfg=V_CFG,
                         enface_cfg=E_CFG, attn_impl="naive")
@@ -126,6 +128,96 @@ def test_clip_train_step_runs():
     assert int(state.step) == 1
 
 
+@pytest.mark.slow
+def test_lit_lock_partition_real_freeze():
+    """Real LiT locking (optim.make_partition): frozen-param grads and
+    optimizer moments are STRUCTURALLY absent (not just zero), frozen
+    params never move, and the partitioned step updates the trainable
+    split identically to the zero-scale fallback (reference lock()
+    semantics, models_vit_st_flash_attn_nodrop.py:308-351)."""
+    import optax
+    from flax import traverse_util
+
+    from octcubem_tpu.train import optim
+    from octcubem_tpu.train.train_state import TrainState
+
+    m = coem.COEP2Tower(embed_dim=16, vision_cfg=V_CFG,
+                        enface_cfg=E_CFG, attn_impl="naive")
+    img, enf = _inputs()
+    params = m.init(jax.random.key(0), img, enf)
+
+    # freeze the whole visual trunk except its final norm + head-ish parts
+    def trainable(path, leaf):
+        name = "/".join(getattr(k, "key", str(k)) for k in path)
+        return not (name.startswith("params/visual/")
+                    and "blocks" in name)
+
+    mask = jax.tree_util.tree_map_with_path(trainable, params)
+    partition = optim.make_partition(mask)
+    tr0, fz0 = partition[0](params)
+    assert tr0 and fz0
+    # numpy snapshots: the train steps donate the state, deleting the
+    # original param buffers
+    tr0_np = {k: np.asarray(v).copy() for k, v in tr0.items()}
+    fz0_np = {k: np.asarray(v).copy() for k, v in fz0.items()}
+    params_zs = jax.tree.map(jnp.array, params)  # independent buffers
+    # grads structurally absent for frozen params: value_and_grad over the
+    # trainable split returns a tree with ONLY trainable keys
+    def loss_fn(tr):
+        p = partition[1](tr, fz0)
+        fi, fe, s = m.apply(p, img, enf)
+        return clip_engine.clip_loss(fi, fe, s)
+
+    grads = jax.grad(loss_fn)(tr0)
+    assert set(grads.keys()) == set(tr0.keys())
+    assert not (set(grads.keys()) & set(fz0.keys()))
+
+    tx = optim.build_adamw(tr0, 1e-2)
+    state = TrainState.create(params, tx, jax.random.key(1), tx_params=tr0)
+    # moments structurally absent: adam mu covers the trainable split only
+    mus = [s.mu for s in jax.tree.leaves(
+        state.opt_state, is_leaf=lambda x: hasattr(x, "mu")) if hasattr(s, "mu")]
+    assert mus
+    mu_keys = set(traverse_util.flatten_dict(mus[0], sep="/"))
+    assert mu_keys == set(tr0.keys())
+
+    step = clip_engine.make_clip_train_step(m, tx, partition=partition)
+    batch = {"image": img, "enface": enf}
+    state1, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    tr1, fz1 = partition[0](state1.params)
+    for k in fz0_np:  # frozen params bit-identical
+        np.testing.assert_array_equal(np.asarray(fz1[k]), fz0_np[k])
+    assert any(not np.allclose(np.asarray(tr1[k]), tr0_np[k])
+               for k in tr0_np)
+
+    # equivalence with the zero-scale fallback on the trainable split
+    scales = jax.tree.map(lambda b: 1.0 if b else 0.0, mask)
+    tx_zs = optax.chain(optim.build_adamw(params_zs, 1e-2),
+                        optim.scale_by_tree(scales))
+    state_zs = TrainState.create(params_zs, tx_zs, jax.random.key(1))
+    step_zs = clip_engine.make_clip_train_step(m, tx_zs)
+    state_zs1, metrics_zs = step_zs(state_zs, batch)
+    np.testing.assert_allclose(float(metrics["loss"]),
+                               float(metrics_zs["loss"]), rtol=1e-6)
+    tr_zs1, fz_zs1 = partition[0](state_zs1.params)
+    for k in tr0_np:
+        np.testing.assert_allclose(np.asarray(tr1[k]), np.asarray(tr_zs1[k]),
+                                   rtol=2e-5, atol=1e-6)
+
+    # the partitioned step does measurably less COMPUTE: no backward
+    # through the frozen blocks, no moment updates for frozen params
+    def flops_of(step_fn, st, b):
+        c = step_fn.lower(st, b).compile().cost_analysis()
+        c = c[0] if isinstance(c, list) else c
+        return float(c.get("flops", 0.0))
+
+    f_part = flops_of(step, state1, batch)
+    f_zs = flops_of(step_zs, state_zs1, batch)
+    assert f_part < 0.9 * f_zs, (f_part, f_zs)
+
+
+@pytest.mark.slow
 def test_clip_accum_matches_full_batch_loss():
     """The feature-cached accumulation step must see the full effective
     batch as negatives (loss equals the full-batch loss at the same
@@ -162,6 +254,7 @@ def test_clip_accum_matches_full_batch_loss():
                                rtol=1e-3)  # f32 order-of-summation noise
 
 
+@pytest.mark.slow
 def test_clip_accum_matches_full_batch_3mod():
     """3-mod feature-cached accumulation with stacked modality weights
     (train_retclip_3modalities.py:31-41) must reconstruct the full-batch
