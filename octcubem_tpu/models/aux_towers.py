@@ -87,8 +87,10 @@ def find_bpe_vocab() -> str | None:
     at runtime — it is data shipped by the reference
     (retinal-COEM/src/open_clip/bpe_simple_vocab_16e6.txt.gz), loaded
     rather than re-vendored.  Search order: $OCTCUBEM_BPE_VOCAB, a copy
-    next to this package, an installed open_clip/clip package, a
-    colocated reference checkout."""
+    next to this package, an installed open_clip/clip package.
+    Returns None when absent — BPETokenizer then raises with
+    instructions (set the env var or drop the file next to models/);
+    the hash-based SimpleTokenizer fallback keeps training usable."""
     import os
 
     name = "bpe_simple_vocab_16e6.txt.gz"
@@ -104,8 +106,6 @@ def find_bpe_vocab() -> str | None:
                     os.path.join(os.path.dirname(spec.origin), name))
         except (ImportError, ValueError):
             pass
-    candidates.append(
-        os.path.join("/root/reference/retinal-COEM/src/open_clip", name))
     for c in candidates:
         if c and os.path.isfile(c):
             return c
@@ -662,13 +662,42 @@ def focalnet_base_lrf(**kw) -> FocalNet:
                              drop_path_rate=0.5, use_layerscale=True)
 
 
+def _resolve_flax_module_class(cfg):
+    """Resolve the linen module class for a transformers config via the
+    PUBLIC API: ``FlaxAutoModel.from_config(cfg, _do_init=False)``
+    constructs the (uninitialized) wrapper and we take the class of its
+    ``.module``.  Falls back defensively to the auto-mapping registry
+    for transformers versions where ``_do_init`` is unsupported.  If
+    the installed transformers has dropped Flax entirely (v5 plan),
+    both paths raise a clear ImportError rather than an AttributeError
+    deep inside setup."""
+    try:
+        from transformers import FlaxAutoModel
+    except ImportError as e:  # transformers v5 drops Flax
+        raise ImportError(
+            "HFTextTower requires transformers with Flax support "
+            "(FlaxAutoModel); install transformers<5 or use the native "
+            "TextTransformer tower instead") from e
+    try:
+        wrapper = FlaxAutoModel.from_config(cfg, _do_init=False)
+        return type(wrapper.module)
+    except TypeError:
+        # older transformers: from_config lacks _do_init; avoid eager
+        # param init by resolving the class from the mapping instead.
+        mapping = getattr(FlaxAutoModel, "_model_mapping", None)
+        if mapping is not None and type(cfg) in mapping:
+            return mapping[type(cfg)].module_class
+        raise
+
+
 class HFTextTower(nn.Module):
     """HuggingFace text encoder as a CLIP text tower
     (hf_model.py:83-145 + the text_cfg.hf_model_name dispatch at
     model.py:454-461).
 
     Embeds the transformers FLAX module natively: the wrapper class
-    resolves from the config via FlaxAutoModel's mapping and its inner
+    resolves from the config via the public FlaxAutoModel.from_config
+    path (see _resolve_flax_module_class) and its inner
     linen ``module_class`` is instantiated inside this module's scope,
     so the encoder's params live in the same tree and train/shard with
     everything else.  Offline-first: construct from ``hf_config``
@@ -696,8 +725,7 @@ class HFTextTower(nn.Module):
                 raise ValueError("need hf_config or model_name_or_path")
             cfg = AutoConfig.from_pretrained(self.model_name_or_path)
         self.config = cfg
-        wrapper_cls = FlaxAutoModel._model_mapping[type(cfg)]
-        self.transformer = wrapper_cls.module_class(
+        self.transformer = _resolve_flax_module_class(cfg)(
             config=cfg, dtype=self.dtype, name="transformer")
         width = getattr(cfg, "hidden_size", getattr(cfg, "d_model", None))
         self._needs_proj = self.proj is not None or width != self.output_dim

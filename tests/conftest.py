@@ -18,3 +18,12 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Test-env opt-in: the BPE parity test loads OpenAI's public merge table
+# at runtime (the package itself searches only $OCTCUBEM_BPE_VOCAB, a
+# file next to models/, or an installed open_clip/clip — never a
+# hardcoded checkout path).  Point the env var at the colocated copy
+# when present so the parity test runs instead of skipping.
+_bpe = "/root/reference/retinal-COEM/src/open_clip/bpe_simple_vocab_16e6.txt.gz"
+if "OCTCUBEM_BPE_VOCAB" not in os.environ and os.path.isfile(_bpe):
+    os.environ["OCTCUBEM_BPE_VOCAB"] = _bpe

@@ -4,6 +4,7 @@ import jax.numpy as jnp
 
 from octcubem_tpu.models.aux_towers import SimpleTokenizer, TextTransformer
 from octcubem_tpu.core import checkpoint as ckpt
+import pytest
 
 
 def test_tokenizer():
@@ -56,6 +57,7 @@ def test_text_transformer():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_focalnet_forward():
     """FocalNet trunk (focalnet.py:40-503): focal modulation pyramid,
     4 stages with channel doubling and stride-2 transitions, mean-pooled
@@ -118,6 +120,7 @@ def test_perceiver_forward():
     assert np.isfinite(np.asarray(o_d)).all()
 
 
+@pytest.mark.slow
 def test_coem_factory_selects_focalnet_perceiver():
     """'tower': 'focalnet' / 'perceiver' configs build and forward
     through the COEM factory (model.py:139-190 dispatch)."""
@@ -150,6 +153,7 @@ def test_coem_factory_selects_focalnet_perceiver():
     assert np.isfinite(np.asarray(fi2)).all()
 
 
+@pytest.mark.slow
 def test_modified_resnet_forward():
     """CLIP ModifiedResNet (modified_resnet.py:95-181): stem + 4 stages +
     attention pool; total downsample 32x; eval uses running BN stats,
@@ -169,6 +173,7 @@ def test_modified_resnet_forward():
     assert "batch_stats" in updates
 
 
+@pytest.mark.slow
 def test_hipt_vit4k_forward():
     """HIPT region ViT (vision_transformer4k.py:161-259): consumes a
     feature map, phi projection, cls pooling; pos embeds interpolate for
@@ -238,6 +243,7 @@ def test_checkpoint_save_restore_delete(tmp_path):
     assert ckpt.latest_step(d) == 0
 
 
+@pytest.mark.slow
 def test_hf_text_tower_forward():
     """HFTextTower (hf_model.py:83-145 equivalent): a tiny from-config
     flax BERT embedded natively in the model tree; masked mean pooling
@@ -268,6 +274,7 @@ def test_hf_text_tower_forward():
     assert m_mlp.apply(p2, ids).shape == (2, 16)
 
 
+@pytest.mark.slow
 def test_coem_hf_text_tower_dispatch():
     """An enface_cfg carrying hf_config builds an HF text tower behind
     the COEM factory (model.py:454-461 dispatch): OCT volumes vs token

@@ -4,6 +4,7 @@ Catches silent gradient/optimizer bugs that shape tests cannot (e.g. a
 masked loss that ignores the prediction, a zero-lr mask covering
 everything, broken custom-vjp)."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -13,6 +14,8 @@ from octcubem_tpu.train import optim, losses
 from octcubem_tpu.train.train_state import TrainState
 from octcubem_tpu.train.mae_engine import make_mae_train_step
 from octcubem_tpu.train.finetune_engine import make_finetune_train_step
+
+pytestmark = pytest.mark.slow  # heavy CLI/e2e drives: -m 'not slow' skips
 
 
 def test_mae_loss_decreases():

@@ -71,6 +71,7 @@ def test_native_loader_matches_pil(tmp_path):
     assert np.abs(vol_native - vol_pil).mean() < 0.5 / 255
 
 
+@pytest.mark.slow
 def test_slivit_forward():
     import os as _os
     _os.environ.setdefault("XLA_FLAGS", "")

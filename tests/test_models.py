@@ -64,6 +64,7 @@ def _tiny_mae(**kw):
     return mae3d.MaskedAutoencoderViT3D(**defaults)
 
 
+@pytest.mark.slow
 def test_mae3d_forward_3d():
     m = _tiny_mae()
     x = jax.random.normal(jax.random.key(0), (2, 6, 32, 32, 1))

@@ -10,6 +10,7 @@ from octcubem_tpu.core import mesh as meshlib
 from octcubem_tpu.models import coem, mae3d
 from octcubem_tpu.train import optim, clip_engine
 from octcubem_tpu.train.train_state import TrainState
+import pytest
 
 V = dict(num_frames=6, t_patch_size=3, img_size=32, patch_size=16, in_chans=1,
          embed_dim=32, depth=2, num_heads=2)
@@ -47,6 +48,7 @@ def test_clip_loss_sharded_equals_unsharded():
                                    atol=1e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_mae_step_runs_on_fsdp_mesh():
     m = mae3d.MaskedAutoencoderViT3D(
         input_size=32, high_res_input_size=64, patch_size=16, in_chans=1,

@@ -26,6 +26,7 @@ CASES = [(fam, name) for fam, mod in registry._FAMILIES.items()
 
 @pytest.mark.parametrize("family,name", CASES,
                          ids=[f"{f}:{n}" for f, n in CASES])
+@pytest.mark.slow
 def test_registry_name_constructs_and_forwards(family, name):
     patch = int(re.search(r"patch(\d+)", name).group(1))
     img = patch * 2

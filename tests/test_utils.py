@@ -7,6 +7,7 @@ import jax.numpy as jnp
 from octcubem_tpu.models import vit_st
 from octcubem_tpu.utils import saliency, profiling, visualization
 from octcubem_tpu.utils.logging import SmoothedValue, MetricLogger, JsonlLogger
+import pytest
 
 
 def _cam_model():
@@ -16,6 +17,7 @@ def _cam_model():
         attn_impl="naive", capture_cam=True)
 
 
+@pytest.mark.slow
 def test_gradcam_shapes_and_signal():
     m = _cam_model()
     x = jax.random.normal(jax.random.key(0), (2, 6, 32, 32, 1))
@@ -27,6 +29,7 @@ def test_gradcam_shapes_and_signal():
     assert cam.max() <= 1.0 + 1e-6 and cam.min() >= 0.0
 
 
+@pytest.mark.slow
 def test_gradcam_differs_across_classes():
     m = _cam_model()
     x = jax.random.normal(jax.random.key(2), (1, 6, 32, 32, 1))
@@ -89,6 +92,7 @@ def test_meters_and_jsonl(tmp_path):
     assert rec["loss"] == 1.5
 
 
+@pytest.mark.slow
 def test_clip_pair_gradcam():
     from octcubem_tpu.models import coem
     V = dict(num_frames=6, t_patch_size=3, img_size=32, patch_size=16,

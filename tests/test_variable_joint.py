@@ -9,7 +9,10 @@ implements the documented intent: (low, high) sample pairs, alternating
 resolution streams through the joint model's dispatch.
 """
 
+import pytest
 import numpy as np
+
+pytestmark = pytest.mark.slow  # heavy CLI/e2e drives: -m 'not slow' skips
 
 
 def _write_png(path, rng, size=48):
