@@ -36,6 +36,14 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import os
 
 BATCH = int(os.environ.get("BENCH_BATCH", "4"))
+# KNOWN-FAULTING: BENCH_BATCH=6 deterministically crashes the TPU worker
+# on this toolchain (shape-specific backend miscompile in the full-step
+# program; kernels/fwd/bwd/noopt all pass in isolation — see
+# NOTES_ROUND3.md "Batch-6 crash").  Batches 4/5/7/8 verified good;
+# 4 is the throughput optimum.
+if BATCH == 6:
+    print("WARNING: batch 6 is known to hard-fault the TPU worker on "
+          "this toolchain (NOTES_ROUND3.md); use 4/5/7/8", flush=True)
 REMAT = os.environ.get("BENCH_REMAT", "0") == "1"
 # BENCH_MESH=1: shard the batch over ALL local devices (batch scales with
 # device count; vol/s reported per chip). Off by default to keep the
@@ -130,10 +138,12 @@ def main():
     state = TrainState.create(params, tx, jax.random.key(2))
 
     # BENCH_GNORM=0: drop the per-step global-grad-norm metric (an extra
-    # full grad read unless XLA fuses it) — perf experiment knob
+    # full grad read unless XLA fuses it) — perf experiment knob.
+    # BENCH_DONATE=0: disable state donation (batch-6 crash isolation).
     step = make_mae_train_step(
         model, tx, joint=False,
-        compute_grad_norm=os.environ.get("BENCH_GNORM", "1") != "0")
+        compute_grad_norm=os.environ.get("BENCH_GNORM", "1") != "0",
+        donate=os.environ.get("BENCH_DONATE", "1") != "0")
 
     if USE_MESH:
         from octcubem_tpu.core import mesh as meshlib
@@ -147,7 +157,10 @@ def main():
         x = shard_batch(x, mesh)
         state = replicate_state(state, mesh)
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
+    @functools.partial(
+        jax.jit,
+        donate_argnums=(0,) if os.environ.get("BENCH_DONATE", "1") != "0"
+        else ())
     def run_steps(state, x):
         def body(i, st):
             st, _ = step(st, x, mask_ratio=MASK_RATIO)

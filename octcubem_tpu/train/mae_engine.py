@@ -23,7 +23,8 @@ from .train_state import TrainState
 
 def make_mae_train_step(model, tx, joint: bool = False,
                         use_premask: bool = False, accum_iter: int = 1,
-                        compute_grad_norm: bool = True):
+                        compute_grad_norm: bool = True,
+                        donate: bool = True):
     """Returns step(state, batch3d, mask_ratio, batch2d?, mask_ratio_2d?,
     pre_mask?) -> (state, metrics).
 
@@ -65,7 +66,7 @@ def make_mae_train_step(model, tx, joint: bool = False,
         return total, (loss3d, loss2d, frame_losses)
 
     @functools.partial(jax.jit, static_argnames=("mask_ratio", "mask_ratio_2d"),
-                       donate_argnums=(0,))
+                       donate_argnums=(0,) if donate else ())
     def step(state: TrainState, batch3d, mask_ratio: float = 0.9,
              batch2d=None, mask_ratio_2d: float = 0.75, pre_mask=None):
         rng, new_rng = jax.random.split(state.rng)

@@ -26,7 +26,8 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 ABLATE = os.environ.get("ABLATE", "none")
-BATCH, FRAMES, IMG, TPATCH = 4, 60, 256, 3
+BATCH = int(os.environ.get("BENCH_BATCH", "4"))
+FRAMES, IMG, TPATCH = 60, 256, 3
 MASK_RATIO = 0.9
 STEPS = 8
 
@@ -39,12 +40,18 @@ if ABLATE == "attn":
     def _identity_packed(q, k, v, num_heads, scale=None, impl="auto"):
         return v
 
+    def _identity_qkv(qkv, num_heads, scale=None, impl="auto"):
+        hd = qkv.shape[-1] // 3
+        return qkv[:, :, 2 * hd:]
+
     attention.multi_head_attention = _identity_attention
     attention.multi_head_attention_packed = _identity_packed
+    attention.multi_head_attention_qkv = _identity_qkv
     # layers binds the names at import time; patch its references too
     import octcubem_tpu.nn.layers as _layers
     _layers.multi_head_attention = _identity_attention
     _layers.multi_head_attention_packed = _identity_packed
+    _layers.multi_head_attention_qkv = _identity_qkv
 
 from octcubem_tpu.models import mae3d
 from octcubem_tpu.train import optim, schedules

@@ -21,7 +21,8 @@ from octcubem_tpu.ops.flash_attention import flash_attention
 
 MODE = sys.argv[1] if len(sys.argv) > 1 else "both"
 ITERS = int(sys.argv[2]) if len(sys.argv) > 2 else 20
-B, H, N, D = 4, 16, int(os.environ.get("KB_N", "5121")), 32
+B = int(os.environ.get("KB_B", "4"))
+H, N, D = 16, int(os.environ.get("KB_N", "5121")), 32
 
 if os.environ.get("KB_BWDQ"):
     import octcubem_tpu.ops.flash_attention as _fa
@@ -51,7 +52,19 @@ def timeit(name, fn, *args):
     return dt
 
 
-if os.environ.get("KB_PACKED"):
+if os.environ.get("KB_FUSED"):
+    # fused-qkv path: one [B, N, 3HD] buffer, kernels read via
+    # minor-offset BlockSpecs (flash_attention_packed_qkv)
+    from octcubem_tpu.ops.flash_attention import flash_attention_packed_qkv
+
+    qkv = jnp.concatenate(
+        [x.transpose(0, 2, 1, 3).reshape(B, N, H * D) for x in (q, k, v)],
+        axis=-1)
+    q, k, v = qkv, qkv[:, :, :1], qkv[:, :, :1]  # k/v unused placeholders
+
+    def attn(qkv, *_):
+        return flash_attention_packed_qkv(qkv, H)
+elif os.environ.get("KB_PACKED"):
     from octcubem_tpu.ops.flash_attention import flash_attention_packed
 
     q = q.transpose(0, 2, 1, 3).reshape(B, N, H * D)
