@@ -261,7 +261,9 @@ def main(argv=None):
     if cfg.resume_type == "training_continue_reset_optim" and cfg.resume:
         from ..train.mae_engine import replicate_state
 
-        prev = cfg.resume
+        # 'latest' resolves to THIS run's output dir (continue own params
+        # with a fresh optimizer); anything else is a prior run/ckpt dir
+        prev = cfg.output_dir if cfg.resume == "latest" else cfg.resume
         if os.path.basename(os.path.normpath(prev)) != "ckpt":
             prev = os.path.join(prev, "ckpt")
         state_prev, _, step_prev = ckpt_lib.restore_checkpoint(prev, state)

@@ -232,25 +232,11 @@ def main(argv=None):
     trainable_scales = None
     partition = None
     if cfg.lock_image and hasattr(model, "visual"):
-        import re
-
-        depth = vcfg.get("depth", 24)
-        n_unlocked = cfg.lock_image_unlocked_groups
-        first_unlocked_block = depth + 1 - (n_unlocked - 1)
-
-        def scale(path, leaf):
-            name = "/".join(getattr(k, "key", str(k)) for k in path)
-            if not name.startswith("visual/"):
-                return 1.0
-            if any(t in name for t in ("fc_aggregate_cls", "aggregate_cls_norm",
-                                       "head", "/norm/")):
-                return 1.0
-            m = re.search(r"blocks/blocks_(\d+)/", name)
-            if m and int(m.group(1)) + 1 >= first_unlocked_block:
-                return 1.0
-            return 0.0
-
-        scales = jax.tree_util.tree_map_with_path(scale, params)
+        # shared mask builder (optim.lit_lock_scales) — it strips the
+        # 'params/' root before matching, which the round-2 inline mask
+        # did not, silently unlocking everything
+        scales = optim.lit_lock_scales(params, vcfg.get("depth", 24),
+                                       cfg.lock_image_unlocked_groups)
         if cfg.lock_mode == "zero_scale":
             trainable_scales = scales
         else:
@@ -300,9 +286,15 @@ def main(argv=None):
     tb = TBWriter(os.path.join(cfg.output_dir, "tb"))
 
     def eval_epoch(epoch):
-        raw = list(ld_eval)
-        batches = [to_batch(b) for b in raw]
+        # one pass over the val loader: jnp batches for the metric
+        # computation + row-aligned keys harvested as we go (the raw
+        # host arrays are NOT retained)
         save = args.save_retrieval_results or cfg.save_retrieval_results
+        batches, keys = [], []
+        for b in ld_eval:
+            batches.append(to_batch(b))
+            if isinstance(b, dict) and "__key__" in b:
+                keys.extend(b["__key__"])
         result = clip_engine.evaluate_retrieval(
             model, state.params, batches, three_mod=three_mod,
             return_features=save)
@@ -315,10 +307,6 @@ def main(argv=None):
             # evaluator can reload images and render top-3 panels
             # (retDisease_eval/…top3_col_aireadi_laterality.py:61-114).
             payload = {"metrics": metrics, **features}
-            keys = []
-            for b in raw:
-                if isinstance(b, dict) and "__key__" in b:
-                    keys.extend(b["__key__"])
             if keys:
                 payload["keys"] = keys
                 recs = (ds_val.key_to_record()

@@ -333,6 +333,11 @@ def _main_manifest(args):
     for fi, fold in enumerate(folds):
         train_rows, val_rows = ds.cv_indices(fold)
         assert train_rows and val_rows, (fold, len(train_rows), len(val_rows))
+        if len(train_rows) < batch:
+            raise ValueError(
+                f"fold {fold}: train side has {len(train_rows)} rows but "
+                f"the device-rounded batch is {batch} — lower --batch_size "
+                "or use fewer folds/devices")
         mu, sd = (ds.raw_label_stats(train_rows) if task == "regression"
                   else (0.0, 1.0))
         b0 = next(batches(ds, train_rows, mu, sd))

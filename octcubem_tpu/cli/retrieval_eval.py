@@ -144,6 +144,13 @@ def main(argv=None):
             ks=tuple(args.topk))
         for k, v in metrics.items():
             print(f"{k}: {v:.4f}")
+    elif not args.panels_dir:
+        # laterality metrics are the default job; fail loudly on a pkl
+        # that can't serve them rather than returning an empty result
+        raise SystemExit(
+            "pkl has no 'image_laterality'/'enface_laterality' — pass a "
+            "laterality feature dump, or use --panels_dir for panel "
+            "rendering only")
     if args.panels_dir:
         if "keys" not in d or "paths" not in d:
             raise SystemExit(

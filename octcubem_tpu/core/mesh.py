@@ -27,6 +27,10 @@ def make_mesh(n_data: int | None = None, n_fsdp: int = 1, devices=None,
         devices = jax.devices()
     if n_data is None:
         n_data = len(devices) // (n_fsdp * n_sp)
+    if n_data < 1:
+        raise ValueError(
+            f"mesh needs at least n_fsdp*n_sp = {n_fsdp * n_sp} devices, "
+            f"have {len(devices)} (n_data would be 0)")
     need = n_data * n_fsdp * n_sp
     assert need <= len(devices), (
         f"need {need} devices, have {len(devices)}"

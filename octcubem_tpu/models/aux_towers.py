@@ -717,7 +717,7 @@ class HFTextTower(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
-        from transformers import AutoConfig, FlaxAutoModel
+        from transformers import AutoConfig
 
         cfg = self.hf_config
         if cfg is None:

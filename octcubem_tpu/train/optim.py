@@ -72,6 +72,34 @@ def scale_by_tree(scales) -> optax.GradientTransformation:
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def lit_lock_scales(params, depth: int, n_unlocked: int,
+                    tower_prefix: str = "visual/"):
+    """Per-param trainable scales (1.0/0.0) for LiT image-tower locking.
+
+    Group ordering per the reference lock() (models_vit_st_flash_attn_
+    nodrop.py:308-351): [embeds+pos+cls, blocks 0..D-2, last block+norm,
+    head group]; the last ``n_unlocked`` groups stay trainable.  Params
+    outside ``tower_prefix`` are always trainable.  Feed the result to
+    scale_by_tree (zero-scale fallback) or threshold >0 into
+    make_partition (real freezing)."""
+    first_unlocked_block = depth + 1 - (n_unlocked - 1)
+
+    def scale(path, leaf):
+        name = "/".join(getattr(k, "key", str(k)) for k in path)
+        name = name.removeprefix("params/")
+        if not name.startswith(tower_prefix):
+            return 1.0
+        if any(t in name for t in ("fc_aggregate_cls", "aggregate_cls_norm",
+                                   "head", "/norm/")):
+            return 1.0
+        m = re.search(r"blocks/blocks_(\d+)/", name)
+        if m and int(m.group(1)) + 1 >= first_unlocked_block:
+            return 1.0
+        return 0.0
+
+    return jax.tree_util.tree_map_with_path(scale, params)
+
+
 def make_partition(trainable_mask):
     """(split, merge) helpers for REAL parameter freezing (LiT lock).
 

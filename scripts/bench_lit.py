@@ -14,8 +14,11 @@ one host read closes the window.
 """
 
 import functools
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -30,8 +33,6 @@ STEPS = int(sys.argv[3]) if len(sys.argv) > 3 else 4
 
 
 def main():
-    import re
-
     from octcubem_tpu.models import coem
     from octcubem_tpu.train import clip_engine, optim
     from octcubem_tpu.train.train_state import TrainState
@@ -41,32 +42,20 @@ def main():
                 num_heads=16)
     ecfg = dict(img_size=384, patch_size=16, in_chans=3, embed_dim=1024,
                 depth=24, num_heads=16)
+    # remat mirrors the canonical config's grad_checkpointing=True
+    # (without it the unlocked-towers backward OOMs at batch 8)
     model = coem.COEP2Tower(embed_dim=512, vision_cfg=vcfg,
-                            enface_cfg=ecfg, dtype=jnp.bfloat16)
+                            enface_cfg=ecfg, dtype=jnp.bfloat16,
+                            remat=True)
     img = jax.random.normal(jax.random.key(0),
                             (BATCH, FRAMES, 256, 256, 1), jnp.float32)
     enf = jax.random.normal(jax.random.key(1), (BATCH, 384, 384, 3),
                             jnp.float32)
     params = jax.jit(model.init)(jax.random.key(2), img, enf)
 
-    # the cli/retclip.py lock mask: visual frozen except last 8 blocks +
-    # norm/head groups (9 unlocked groups)
-    depth, n_unlocked = 24, 9
-    first_unlocked = depth + 1 - (n_unlocked - 1)
-
-    def scale(path, leaf):
-        name = "/".join(getattr(k, "key", str(k)) for k in path)
-        if not name.startswith("params/visual/"):
-            return 1.0
-        if any(t in name for t in ("fc_aggregate_cls", "aggregate_cls_norm",
-                                   "head", "/norm/")):
-            return 1.0
-        m = re.search(r"blocks/blocks_(\d+)/", name)
-        if m and int(m.group(1)) + 1 >= first_unlocked:
-            return 1.0
-        return 0.0
-
-    scales = jax.tree_util.tree_map_with_path(scale, params)
+    # the canonical OCTCube-IR lock: visual frozen except 9 unlocked
+    # groups — same mask builder the CLI uses (optim.lit_lock_scales)
+    scales = optim.lit_lock_scales(params, depth=24, n_unlocked=9)
     batch = {"image": img, "enface": enf}
 
     def run(step, state):

@@ -63,7 +63,10 @@ if os.environ.get("KB_FUSED"):
     q, k, v = qkv, qkv[:, :, :1], qkv[:, :, :1]  # k/v unused placeholders
 
     def attn(qkv, *_):
-        return flash_attention_packed_qkv(qkv, H)
+        o = flash_attention_packed_qkv(qkv, H)
+        # carry must keep the fused [B,N,3HD] shape for the fori chain;
+        # the tile adds ~one 3x copy per iter (noted, constant overhead)
+        return jnp.tile(o, (1, 1, 3))
 elif os.environ.get("KB_PACKED"):
     from octcubem_tpu.ops.flash_attention import flash_attention_packed
 

@@ -128,6 +128,48 @@ def test_clip_train_step_runs():
     assert int(state.step) == 1
 
 
+def test_lit_lock_scales_freeze_real_tower_paths():
+    """Regression: the lock mask must actually match the COEM param
+    paths ('params/visual/trunk/...').  The round-2 inline mask checked
+    startswith('visual/') against paths rooted at 'params/', freezing
+    NOTHING — a silent LiT no-op.  optim.lit_lock_scales strips the
+    root; with depth=2 and 1 unlocked group only head-ish parts stay
+    trainable."""
+    from octcubem_tpu.train import optim
+
+    m = coem.COEP2Tower(embed_dim=16, vision_cfg=V_CFG,
+                        enface_cfg=E_CFG, attn_impl="naive")
+    img, enf = _inputs(1)
+    params = m.init(jax.random.key(0), img, enf)
+    scales = optim.lit_lock_scales(params, depth=V_CFG["depth"],
+                                   n_unlocked=1)
+    flat = {}
+    jax.tree_util.tree_map_with_path(
+        lambda p, s: flat.__setitem__(
+            "/".join(getattr(k, "key", str(k)) for k in p), s),
+        scales)
+    frozen = [k for k, s in flat.items() if s == 0.0]
+    assert frozen, "lock mask froze nothing (the round-2 no-op)"
+    # frozen params all live in the visual trunk; embeds + all blocks
+    assert all(k.startswith("params/visual/") for k in frozen)
+    assert any("patch_embed" in k for k in frozen)
+    assert any("blocks_0" in k for k in frozen)
+    assert any("blocks_1" in k for k in frozen)
+    # enface tower + logit scale + head-ish visual parts stay trainable
+    assert all(flat[k] == 1.0 for k in flat if k.startswith("params/enface"))
+    assert all(flat[k] == 1.0 for k in flat if "aggregate_cls" in k)
+    # with 2 unlocked groups the LAST block (+norm) becomes trainable
+    scales2 = optim.lit_lock_scales(params, depth=V_CFG["depth"],
+                                    n_unlocked=2)
+    flat2 = {}
+    jax.tree_util.tree_map_with_path(
+        lambda p, s: flat2.__setitem__(
+            "/".join(getattr(k, "key", str(k)) for k in p), s),
+        scales2)
+    assert all(s == 1.0 for k, s in flat2.items() if "blocks_1" in k)
+    assert any(s == 0.0 for k, s in flat2.items() if "blocks_0" in k)
+
+
 @pytest.mark.slow
 def test_lit_lock_partition_real_freeze():
     """Real LiT locking (optim.make_partition): frozen-param grads and
