@@ -68,6 +68,10 @@ def main():
 
         state = loop(state)                       # compile + warmup
         _ = float(jax.tree.leaves(state.params)[0].sum())
+        state = loop(state)                       # 2nd warmup: donated
+        _ = float(jax.tree.leaves(state.params)[0].sum())  # outputs may
+        # carry different layouts than the original inputs, forcing one
+        # recompile on the second call — steady state from the third on
         t0 = time.time()
         state = loop(state)
         _ = float(jax.tree.leaves(state.params)[0].sum())
