@@ -66,12 +66,15 @@ def main():
                 return st
             return jax.lax.fori_loop(0, STEPS, body, state)
 
-        state = loop(state)                       # compile + warmup
-        _ = float(jax.tree.leaves(state.params)[0].sum())
-        state = loop(state)                       # 2nd warmup: donated
-        _ = float(jax.tree.leaves(state.params)[0].sum())  # outputs may
-        # carry different layouts than the original inputs, forcing one
-        # recompile on the second call — steady state from the third on
+        # donated outputs come back with DIFFERENT layouts than the
+        # original inputs, and the layout fixpoint takes a couple of
+        # round trips — measured: call0 compile, calls 1-2 recompile,
+        # call 3 steady (NOTES_ROUND3).  A fixed 4 warmups rides past
+        # the fixpoint (cache-hit recompiles are fast but still change
+        # layouts, so a "fast call" heuristic breaks too early).
+        for _ in range(4):
+            state = loop(state)
+            _ = float(jax.tree.leaves(state.params)[0].sum())
         t0 = time.time()
         state = loop(state)
         _ = float(jax.tree.leaves(state.params)[0].sum())
