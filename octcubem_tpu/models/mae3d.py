@@ -157,13 +157,27 @@ class MaskedAutoencoderViT3D(nn.Module):
         # of which resolution the init example has
         _ = (self.patch_embed.kernel, self.high_res_patch_embed.kernel)
         pe = self.high_res_patch_embed if high_res else self.patch_embed
-        x = pe(x)
-        b, t, l, d = x.shape
-        x = x.reshape(b, t * l, d)
+        b = x.shape[0]
+        t = x.shape[1] // self.t_patch_size
+        g_in = x.shape[2] // self.patch_size
+        l = g_in * g_in
+        d = self.embed_dim
 
+        # VISIBLE-TOKEN-ONLY embedding: tube-patchify (data movement
+        # only), gather the kept rows, then run the embed matmul on just
+        # those.  Bit-identical to the reference's embed-all-then-discard
+        # (models_mae_joint_res_flash_attn.py:377-407 — the patch embed
+        # is per-token linear, so gather and matmul commute), but skips
+        # ~mask_ratio of the embed FLOPs and the corresponding dW
+        # backward.  patchify_3d's within-patch order (u, p, q, c)
+        # matches kernel.reshape(-1, D) exactly (ops/patchify.py).
         rng = self.make_rng("masking") if mask_ratio > 0 else None
+        patches = patchify_3d(x.astype(self.dtype), self.t_patch_size,
+                              self.patch_size)
         mk = random_masking(rng, b, t * l, mask_ratio, pre_mask=pre_mask)
-        x = gather_tokens(x, mk.ids_keep)
+        vis = gather_tokens(patches, mk.ids_keep)
+        x = (vis @ pe.kernel.reshape(-1, d).astype(vis.dtype)
+             + pe.bias.astype(vis.dtype))
 
         pos_spat, g = self._spatial_pos(self.pos_embed_spatial, high_res, d)
         if t == 1:
