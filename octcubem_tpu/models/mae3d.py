@@ -33,7 +33,7 @@ import flax.linen as nn
 from ..nn.layers import TransformerStack, LN_EPS
 from ..nn.patch_embed import PatchEmbed3D
 from ..ops.masking import random_masking, gather_tokens
-from ..ops.patchify import patchify_3d
+from ..ops.patchify import patchify_3d, tube_embed_tokens
 from ..ops.resize import resize_grid_bicubic
 
 
@@ -157,6 +157,11 @@ class MaskedAutoencoderViT3D(nn.Module):
         # of which resolution the init example has
         _ = (self.patch_embed.kernel, self.high_res_patch_embed.kernel)
         pe = self.high_res_patch_embed if high_res else self.patch_embed
+        # same input contract PatchEmbed3D.__call__ asserts (square
+        # spatial dims at the embed's resolution, tube-divisible T)
+        assert x.shape[2] == x.shape[3] == pe.img_size, (
+            f"input {x.shape[2]}x{x.shape[3]} != model {pe.img_size}")
+        assert x.shape[1] % self.t_patch_size == 0, x.shape
         b = x.shape[0]
         t = x.shape[1] // self.t_patch_size
         g_in = x.shape[2] // self.patch_size
@@ -165,19 +170,17 @@ class MaskedAutoencoderViT3D(nn.Module):
 
         # VISIBLE-TOKEN-ONLY embedding: tube-patchify (data movement
         # only), gather the kept rows, then run the embed matmul on just
-        # those.  Bit-identical to the reference's embed-all-then-discard
-        # (models_mae_joint_res_flash_attn.py:377-407 — the patch embed
-        # is per-token linear, so gather and matmul commute), but skips
-        # ~mask_ratio of the embed FLOPs and the corresponding dW
-        # backward.  patchify_3d's within-patch order (u, p, q, c)
-        # matches kernel.reshape(-1, D) exactly (ops/patchify.py).
+        # those (tube_embed_tokens).  Bit-identical to the reference's
+        # embed-all-then-discard (models_mae_joint_res_flash_attn.py:
+        # 377-407 — the patch embed is per-token linear, so gather and
+        # matmul commute), but skips ~mask_ratio of the embed FLOPs and
+        # the corresponding dW backward.
         rng = self.make_rng("masking") if mask_ratio > 0 else None
         patches = patchify_3d(x.astype(self.dtype), self.t_patch_size,
                               self.patch_size)
         mk = random_masking(rng, b, t * l, mask_ratio, pre_mask=pre_mask)
         vis = gather_tokens(patches, mk.ids_keep)
-        x = (vis @ pe.kernel.reshape(-1, d).astype(vis.dtype)
-             + pe.bias.astype(vis.dtype))
+        x = tube_embed_tokens(vis, pe.kernel, pe.bias)
 
         pos_spat, g = self._spatial_pos(self.pos_embed_spatial, high_res, d)
         if t == 1:

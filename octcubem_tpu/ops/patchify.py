@@ -62,3 +62,20 @@ def tube_embed(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray | None,
     if bias is not None:
         out = out + bias.astype(x.dtype)
     return out
+
+
+def tube_embed_tokens(patches: jnp.ndarray, kernel: jnp.ndarray,
+                      bias: jnp.ndarray | None) -> jnp.ndarray:
+    """Embed already-patchified token rows: [B, K, t_patch*p*p*C] ->
+    [B, K, D].
+
+    The companion of patchify_3d for visible-token-only embedding (MAE
+    encode): patchify_3d's within-patch order (u, p, q, c) matches
+    kernel.reshape(-1, D) of the [t_patch, p, p, C, D] layout, so this
+    is bit-identical to gathering tube_embed's output rows.  Keep this
+    next to tube_embed — the two encode the same layout contract."""
+    d = kernel.shape[-1]
+    out = patches @ kernel.reshape(-1, d).astype(patches.dtype)
+    if bias is not None:
+        out = out + bias.astype(patches.dtype)
+    return out
