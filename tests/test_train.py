@@ -194,3 +194,53 @@ def test_best_tracker_classification_mode():
     assert t.update(1, m(0.6, 0.6)) is True   # AUPRC tie-break
     assert t.update(2, m(0.5, 0.9)) is False
     assert t.should_stop
+
+
+def test_fused_adamw_matches_optax_chain():
+    """build_fused_adamw (single-pass update) must match build_adamw
+    (optax.chain pipeline) step for step: same updates, same moments,
+    interchangeable ScaleByAdamState checkpoints."""
+    import jax
+    import jax.numpy as jnp
+
+    from octcubem_tpu.train import optim
+
+    rng = np.random.default_rng(5)
+    params = {
+        "dense": {"kernel": jnp.asarray(rng.standard_normal((8, 16)),
+                                        jnp.float32),
+                  "bias": jnp.asarray(rng.standard_normal(16), jnp.float32)},
+        "pos_embed": jnp.asarray(rng.standard_normal((1, 4, 16)),
+                                 jnp.float32),
+    }
+    sched = lambda step: 1e-2 / (1 + 0.1 * step)
+    # clip_grad=1e9 never clips but forces the optax.chain path (plain
+    # build_adamw now DELEGATES to the fused impl, which would make this
+    # test compare fused against itself)
+    tx_ref = optim.build_adamw(params, sched, weight_decay=0.05,
+                               clip_grad=1e9)
+    tx_fused = optim.build_fused_adamw(params, sched, weight_decay=0.05)
+    s_ref = tx_ref.init(params)
+    s_fused = tx_fused.init(params)
+    p_ref = params
+    p_fused = jax.tree.map(jnp.array, params)
+    for i in range(3):
+        grads = jax.tree.map(
+            lambda p: jnp.asarray(
+                np.random.default_rng(i).standard_normal(p.shape),
+                jnp.float32), p_ref)
+        import optax
+
+        u1, s_ref = tx_ref.update(grads, s_ref, p_ref)
+        p_ref = optax.apply_updates(p_ref, u1)
+        u2, s_fused = tx_fused.update(grads, s_fused, p_fused)
+        p_fused = optax.apply_updates(p_fused, u2)
+    for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_fused)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+    # moments interchangeable (ScaleByAdamState in both)
+    mu_ref = [s for s in jax.tree.leaves(
+        s_ref, is_leaf=lambda x: hasattr(x, "mu")) if hasattr(s, "mu")][0].mu
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(mu_ref)[0]),
+        np.asarray(jax.tree.leaves(s_fused.mu)[0]), rtol=1e-6)
