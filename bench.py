@@ -119,10 +119,13 @@ def main():
     from octcubem_tpu.train.train_state import TrainState
     from octcubem_tpu.train.mae_engine import make_mae_train_step
 
+    # BENCH_REMAT_NORM=1: recompute fp32 LayerNorms in the backward
+    # instead of saving their outputs (HBM-residual-traffic experiment)
     model = mae3d.flash_attn_mae_vit_large_patch16(
         num_frames=FRAMES, t_patch_size=TPATCH, pred_t_dim=FRAMES,
         input_size=IMG, high_res_input_size=512, in_chans=1,
         dtype=jnp.bfloat16, attn_impl="auto", remat=REMAT,
+        remat_norm=os.environ.get("BENCH_REMAT_NORM", "0") == "1",
     )
     x = jax.random.normal(jax.random.key(0), (BATCH, FRAMES, IMG, IMG, 1),
                           jnp.float32)

@@ -61,6 +61,7 @@ class MaskedAutoencoderViT3D(nn.Module):
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
     remat: bool = False
+    remat_norm: bool = False
 
     @property
     def t_pred_patch_size(self) -> int:
@@ -118,7 +119,8 @@ class MaskedAutoencoderViT3D(nn.Module):
         self.blocks = TransformerStack(
             self.depth, d, self.num_heads, self.mlp_ratio, self.qkv_bias,
             self.drop_path_rate, dtype=self.dtype, attn_impl=self.attn_impl,
-            parity=self.parity, remat=self.remat)
+            parity=self.parity, remat=self.remat,
+            remat_norm=self.remat_norm)
         self.norm = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32)
         self.decoder_embed = nn.Dense(dd, dtype=self.dtype)
         self.mask_token = self.param(
@@ -126,7 +128,8 @@ class MaskedAutoencoderViT3D(nn.Module):
         self.decoder_blocks = TransformerStack(
             self.decoder_depth, dd, self.decoder_num_heads, self.mlp_ratio,
             self.qkv_bias, self.drop_path_rate, dtype=self.dtype,
-            attn_impl=self.attn_impl, parity=self.parity, remat=self.remat)
+            attn_impl=self.attn_impl, parity=self.parity, remat=self.remat,
+            remat_norm=self.remat_norm)
         self.decoder_norm = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32)
         self.decoder_pred = nn.Dense(
             self.t_pred_patch_size * self.patch_size ** 2 * self.in_chans,

@@ -95,15 +95,22 @@ class Block(nn.Module):
     drop: float = 0.0
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
+    # Recompute the fp32 LayerNorms in the backward instead of saving
+    # their fp32 outputs as residuals (jax.checkpoint on just the LN).
+    # Math-identical; trades a cheap LN recompute for ~42 MB of fp32
+    # HBM residual traffic per decoder-shape LN (NOTES_ROUND3.md
+    # attempt 7).  Param names are unchanged (lifted transform).
+    remat_norm: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        a = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32, name="norm1")(x)
+        norm_cls = nn.remat(nn.LayerNorm) if self.remat_norm else nn.LayerNorm
+        a = norm_cls(epsilon=LN_EPS, dtype=jnp.float32, name="norm1")(x)
         a = MHA(self.dim, self.num_heads, self.qkv_bias, self.dtype,
                 self.attn_impl, name="mixer")(a.astype(self.dtype))
         a = DropPath(self.drop_path, name="drop_path1")(a, deterministic)
         x = x + a
-        m = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32, name="norm2")(x)
+        m = norm_cls(epsilon=LN_EPS, dtype=jnp.float32, name="norm2")(x)
         m = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.dtype,
                 self.drop, name="mlp")(m.astype(self.dtype), deterministic)
         m = DropPath(self.drop_path, name="drop_path2")(m, deterministic)
@@ -130,6 +137,7 @@ class TransformerStack(nn.Module):
     attn_impl: str = "auto"
     parity: str = "flash"
     remat: bool = False
+    remat_norm: bool = False
     # Grad-CAM support: insert zero-valued perturbation points after each
     # block (flax perturb); gradients w.r.t. the 'perturbations' collection
     # are exactly dScore/dActivation (see utils/saliency.py)
@@ -149,7 +157,9 @@ class TransformerStack(nn.Module):
         for i in range(self.depth):
             blk = block_cls(
                 self.dim, self.num_heads, self.mlp_ratio, self.qkv_bias,
-                dpr[i], self.drop, self.dtype, self.attn_impl, name=f"blocks_{i}"
+                dpr[i], self.drop, self.dtype, self.attn_impl,
+                remat_norm=self.remat_norm and not self.remat,
+                name=f"blocks_{i}"
             )
             x, m = blk(x, deterministic)
             if self.capture_cam:

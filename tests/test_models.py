@@ -114,3 +114,31 @@ def test_mae3d_premask():
                             pre_mask=jnp.asarray(pre),
                             rngs={"masking": jax.random.key(6)})
     assert (np.asarray(mask)[:, :2] == 1).all()
+
+
+def test_mae3d_remat_norm_equivalence():
+    """remat_norm recomputes LNs in the bwd; fwd identical, grads ~exact.
+
+    Param names are unchanged by the lifted transform, so the same param
+    tree drives both variants (measured perf-neutral on v5e,
+    NOTES_ROUND3.md attempt 7 — kept as an opt-in HBM-residual knob).
+    Grads match to recompute-reassociation noise (~1e-9 fp32).
+    """
+    m0 = _tiny_mae()
+    m1 = _tiny_mae(remat_norm=True)
+    x = jax.random.normal(jax.random.key(0), (1, 6, 32, 32, 1))
+    params = m0.init({"params": jax.random.key(1), "masking": jax.random.key(2)},
+                     x, mask_ratio=0.75)
+
+    def loss_fn(m):
+        def f(p):
+            loss, _, _, _ = m.apply(p, x, mask_ratio=0.75,
+                                    rngs={"masking": jax.random.key(3)})
+            return loss
+        return f
+
+    l0, g0 = jax.value_and_grad(loss_fn(m0))(params)
+    l1, g1 = jax.value_and_grad(loss_fn(m1))(params)
+    assert np.asarray(l0) == np.asarray(l1)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7), g0, g1)
