@@ -1,0 +1,86 @@
+"""Serving benchmark: ViT-L classifier inference throughput on one chip.
+
+Config mirrors the reference inference demo (SURVEY §3.4 /
+inference_OCTCube.ipynb: 48x256x256 volume -> 8-disease logits) with the
+production bf16 + Pallas-flash path used by cli/predict.py.
+
+Per the verify skill: steps are chained on device with lax.fori_loop and
+one host read closes the timing window (block_until_ready does not sync
+through the axon relay).  Usage:
+
+    python scripts/bench_infer.py            # batches 1, 4, 8
+    IB_BATCHES=4 python scripts/bench_infer.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+FRAMES, IMG, TPATCH, PATCH = 48, 256, 3, 16
+STEPS = int(os.environ.get("IB_STEPS", "50"))
+BATCHES = [int(b) for b in os.environ.get("IB_BATCHES", "1,4,8").split(",")]
+V5E_PEAK_BF16 = 197e12
+
+
+def fwd_flops_per_volume() -> float:
+    """Analytic fwd FLOPs of the ViT-L classifier, per volume."""
+    d, layers = 1024, 24
+    n = (FRAMES // TPATCH) * (IMG // PATCH) ** 2 + 1   # 4097 tokens + cls
+    dense = layers * 2 * n * 12 * d * d + 2 * (n - 1) * (TPATCH * PATCH ** 2) * d
+    attn = layers * 2 * 2 * n * n * d
+    return dense + attn
+
+
+def main():
+    from octcubem_tpu.models import vit_st
+
+    model = vit_st.flash_attn_vit_large_patch16(
+        num_frames=FRAMES, t_patch_size=TPATCH, img_size=IMG, in_chans=1,
+        num_classes=16, head_type="dropout", global_pool=True,
+        dtype=jnp.bfloat16, attn_impl="auto")
+
+    flops = fwd_flops_per_volume()
+    for batch in BATCHES:
+        x = jax.random.normal(jax.random.key(0),
+                              (batch, FRAMES, IMG, IMG, 1), jnp.float32)
+        params = jax.jit(model.init)(jax.random.key(1), x)
+
+        @jax.jit
+        def run(params, x):
+            def body(i, acc):
+                # acc*1e-30 keeps a loop-carried data dependency (defeats
+                # LICM) without perturbing bf16 inputs; *0.0 would be
+                # algebraically simplified away.
+                out = model.apply(params, x + acc * 1e-30)
+                return acc + out.sum().astype(jnp.float32)
+            return jax.lax.fori_loop(0, STEPS, body, jnp.float32(0.0))
+
+        _ = float(run(params, x))          # warmup / compile
+        t0 = time.time()
+        _ = float(run(params, x))
+        dt = time.time() - t0
+        step_ms = dt / STEPS * 1000
+        vps = batch / (dt / STEPS)
+        print(json.dumps({
+            "metric": "ViT-L classifier inference (48x256x256, bf16 flash)",
+            "batch": batch,
+            "step_time_ms": round(step_ms, 2),
+            "value": round(vps, 2),
+            "unit": "volumes/sec/chip",
+            "mfu": round(flops * vps / V5E_PEAK_BF16, 4),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
