@@ -136,6 +136,12 @@ def main(argv=None):
                                         attn_impl=attn_impl) \
         if not args.tiny else mae3d.MaskedAutoencoderViT3D(
             **model_kw, dtype=dtype, attn_impl=attn_impl)
+    # 2D-branch-only remat (same params, remat=True graph for the
+    # memory-heavy high-res batch); no-op when remat already on
+    model2d = None
+    if cfg.remat_2d and not cfg.remat and not args.tiny:
+        model2d = mae3d.mae_vit_large_patch16(
+            **model_kw, dtype=dtype, remat=True, attn_impl=attn_impl)
     frames = model.num_frames
     size = model.input_size
     hi_size = model.high_res_input_size
@@ -294,7 +300,7 @@ def main(argv=None):
 
     step_fn = make_mae_train_step(model, tx, joint=True,
                                   use_premask=cfg.use_premask,
-                                  accum_iter=accum)
+                                  accum_iter=accum, model2d=model2d)
     jsonl = JsonlLogger(cfg.output_dir)
     tb = TBWriter(os.path.join(cfg.output_dir, 'tb'))
 

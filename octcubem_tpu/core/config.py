@@ -47,6 +47,10 @@ class MAEPretrainConfig:
     spl_k_min: float = 0.3
     precision: str = "bf16"
     remat: bool = False
+    # rematerialize only the 2D high-res branch of the joint step: the
+    # 512^2 batch-64 2D side is what exceeds one chip's HBM, while the
+    # 3D side keeps the faster no-remat graph (mae_engine model2d)
+    remat_2d: bool = False
     seed: int = 0
     output_dir: str = "./output_pretrain"
     resume: Optional[str] = None
@@ -183,7 +187,11 @@ class InferConfig:
 
 
 PRESETS: dict[str, Any] = {
-    "vitl_joint_pretrain": MAEPretrainConfig(),
+    # remat_2d: the full joint config (3D b4 + 2D 512^2 b64) demands
+    # ~30GB without remat — only the memory-heavy 2D branch
+    # rematerializes; measured 848.5ms/step vs 904.6 full-remat on v5e
+    # (NOTES_ROUND3.md "Joint step")
+    "vitl_joint_pretrain": MAEPretrainConfig(remat_2d=True),
     # high-res joint pretrain with the 20k-token attention sharded 4-way
     # over a composed (data, sp) mesh — the case sequence parallelism was
     # built for (SURVEY §5.7 optional headroom)

@@ -24,9 +24,16 @@ from .train_state import TrainState
 def make_mae_train_step(model, tx, joint: bool = False,
                         use_premask: bool = False, accum_iter: int = 1,
                         compute_grad_norm: bool = True,
-                        donate: bool = True):
+                        donate: bool = True, model2d=None):
     """Returns step(state, batch3d, mask_ratio, batch2d?, mask_ratio_2d?,
     pre_mask?) -> (state, metrics).
+
+    model2d: optional module variant (same param structure — e.g. the
+    same architecture with remat=True) applied to the 2D branch only.
+    Lets the memory-heavy high-res 2D batch rematerialize while the 3D
+    branch keeps the faster no-remat graph; on a 16GB v5e the joint
+    headline config (3D b4 + 2D 512^2 b64) only fits with the 2D side
+    rematerialized (NOTES_ROUND3.md "Joint step").
 
     mask ratios are static floats (recompiled per scheduled value — the 2D
     ratio changes once per epoch, so at most one recompile per epoch).
@@ -59,7 +66,7 @@ def make_mae_train_step(model, tx, joint: bool = False,
         total = loss3d
         loss2d = jnp.zeros(())
         if joint:
-            loss2d, _, _, _ = model.apply(
+            loss2d, _, _, _ = (model2d or model).apply(
                 params, batch2d, mask_ratio=mask_ratio_2d,
                 deterministic=False, rngs={"masking": r2, "dropout": r2})
             total = total + loss2d

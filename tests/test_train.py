@@ -244,3 +244,45 @@ def test_fused_adamw_matches_optax_chain():
     np.testing.assert_allclose(
         np.asarray(jax.tree.leaves(mu_ref)[0]),
         np.asarray(jax.tree.leaves(s_fused.mu)[0]), rtol=1e-6)
+
+
+def test_joint_step_model2d_remat_matches_plain():
+    """model2d (remat=True variant on the 2D branch) must be a pure
+    memory/compute tradeoff: same params, same losses, same update.
+
+    The hybrid lets the 512^2 2D batch rematerialize while the 3D side
+    keeps the no-remat graph (mae_engine.make_mae_train_step model2d;
+    the full joint headline config only fits one v5e with it)."""
+    from octcubem_tpu.models import mae3d
+    from octcubem_tpu.train.mae_engine import make_mae_train_step
+    from octcubem_tpu.train.train_state import TrainState
+
+    kw = dict(input_size=32, high_res_input_size=64, patch_size=16,
+              in_chans=1, embed_dim=32, depth=2, num_heads=2,
+              decoder_embed_dim=16, decoder_depth=1, decoder_num_heads=2,
+              num_frames=6, t_patch_size=3, pred_t_dim=6,
+              attn_impl="naive")
+    m = mae3d.MaskedAutoencoderViT3D(**kw)
+    m2d = mae3d.MaskedAutoencoderViT3D(**kw, remat=True)
+    x3 = jax.random.normal(jax.random.key(0), (2, 6, 32, 32, 1))
+    x2 = jax.random.normal(jax.random.key(1), (2, 3, 64, 64, 1))
+    params = m.init({"params": jax.random.key(2),
+                     "masking": jax.random.key(3)}, x3, mask_ratio=0.75)
+    sched = schedules.warmup_half_cosine(1e-3, 0.0, 1, 2, 10)
+    tx = optim.build_adamw(params, sched, weight_decay=0.05)
+
+    def one(step):
+        # fresh param buffers per run — the step donates its state
+        st = TrainState.create(jax.tree.map(jnp.array, params), tx,
+                               jax.random.key(4))
+        st, metrics = step(st, x3, mask_ratio=0.75, batch2d=x2,
+                           mask_ratio_2d=0.75)
+        return st, metrics
+
+    s_ref, m_ref = one(make_mae_train_step(m, tx, joint=True))
+    s_hyb, m_hyb = one(make_mae_train_step(m, tx, joint=True, model2d=m2d))
+    np.testing.assert_allclose(float(m_ref["loss"]), float(m_hyb["loss"]),
+                               rtol=1e-6)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7),
+        s_ref.params, s_hyb.params)
