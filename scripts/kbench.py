@@ -22,7 +22,9 @@ from octcubem_tpu.ops.flash_attention import flash_attention
 MODE = sys.argv[1] if len(sys.argv) > 1 else "both"
 ITERS = int(sys.argv[2]) if len(sys.argv) > 2 else 20
 B = int(os.environ.get("KB_B", "4"))
-H, N, D = 16, int(os.environ.get("KB_N", "5121")), 32
+H = int(os.environ.get("KB_H", "16"))
+N = int(os.environ.get("KB_N", "5121"))
+D = int(os.environ.get("KB_D", "32"))
 
 if os.environ.get("KB_BWDQ"):
     import octcubem_tpu.ops.flash_attention as _fa
