@@ -32,6 +32,10 @@ def main(argv=None):
     parser.add_argument("--precision", default="bf16")
     parser.add_argument("--dump_embeddings", default=None,
                         help="optional .npz path for pre-head embeddings")
+    parser.add_argument("--n_data", type=int, default=1,
+                        help="data-parallel serving over N devices "
+                             "(0 = all local devices; batch_size must "
+                             "divide evenly)")
     # tiny-dims overrides for smoke runs
     parser.add_argument("--embed_dim", type=int, default=None)
     parser.add_argument("--depth", type=int, default=None)
@@ -81,6 +85,24 @@ def main(argv=None):
         params, rep = import_state_dict(params, sd, strict=False)
         log.info(f"loaded {args.ckpt}")
 
+    # multi-chip serving (--n_data N, or 0 = all devices): shard each
+    # batch over the mesh 'data' axis with params replicated.  Mirrors
+    # the training-side DDP->mesh design — pjit emits the collectives;
+    # default 1 keeps the single-chip path.
+    n_dev = args.n_data if args.n_data > 0 else len(jax.devices())
+    mesh = None
+    if n_dev > 1:
+        from ..core import mesh as meshlib
+        from ..train.mae_engine import shard_batch, replicate_state
+
+        if args.batch_size % n_dev:
+            raise SystemExit(
+                f"--batch_size {args.batch_size} must be divisible by "
+                f"the {n_dev}-device data axis")
+        mesh = meshlib.make_mesh(n_data=n_dev)
+        params = replicate_state(params, mesh)
+        log.info(f"serving data-parallel over {n_dev} devices")
+
     predict = jax.jit(
         lambda p, x: model.apply(p, x, return_embeddings=True))
     tput = Throughput()
@@ -110,6 +132,8 @@ def main(argv=None):
         if x.shape[0] < args.batch_size:  # pad the tail batch (static jit)
             pad = args.batch_size - x.shape[0]
             x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:])], 0)
+        if mesh is not None:
+            x = shard_batch(x, mesh)
         logits, emb = predict(params, x)
         if pending is not None:
             probs = consume(*pending)

@@ -390,3 +390,38 @@ def test_predict_cli_smoke(tmp_path):
         r = list(_csv.reader(f))
     assert len(r) == 4 and r[0][0] == "patient_id"
     assert all(np.isfinite(float(v)) for v in r[1][1:])
+
+
+def test_predict_cli_data_parallel_mesh(tmp_path):
+    """--n_data 8: data-parallel serving over the 8-device CPU mesh must
+    produce the same per-volume probabilities as the single-device path
+    (params replicated, batches sharded over the mesh 'data' axis)."""
+    import numpy as np
+    from PIL import Image
+
+    from octcubem_tpu.cli import predict
+
+    rng = np.random.default_rng(7)
+    data = tmp_path / "vols"
+    for p in range(10):
+        d = data / f"p{p}" / "v0"
+        d.mkdir(parents=True)
+        for t in range(6):
+            arr = (rng.random((40, 40)) * 255).astype(np.uint8)
+            Image.fromarray(arr, "L").save(str(d / f"oct_{t:03d}.png"))
+
+    common = [str(data), "--num_frames", "6", "--input_size", "32",
+              "--nb_classes", "4", "--embed_dim", "32", "--depth", "2",
+              "--num_heads", "2"]
+    rows1 = predict.main(common + ["--out_csv", str(tmp_path / "a.csv"),
+                                   "--batch_size", "8"])
+    rows8 = predict.main(common + ["--out_csv", str(tmp_path / "b.csv"),
+                                   "--batch_size", "8", "--n_data", "8"])
+
+    def as_dict(rows):
+        return {r[0]: [float(v) for v in r[1:]] for r in rows}
+
+    d1, d8 = as_dict(rows1), as_dict(rows8)
+    assert d1.keys() == d8.keys() and len(d1) == 10
+    for k in d1:
+        np.testing.assert_allclose(d1[k], d8[k], rtol=1e-4, atol=1e-6)
