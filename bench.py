@@ -137,13 +137,11 @@ def main():
     # BENCH_MU=bf16 stores the Adam first moment in bf16 (halves mu HBM
     # traffic in the update step); default fp32 = reference semantics
     mu = jnp.bfloat16 if os.environ.get("BENCH_MU") == "bf16" else None
-    # BENCH_OPT=fused: single-pass AdamW (one elementwise chain per leaf)
-    # vs the optax.chain pipeline — perf experiment knob
-    if os.environ.get("BENCH_OPT") == "fused":
-        tx = optim.build_fused_adamw(params, sched, weight_decay=0.05,
-                                     mu_dtype=mu)
-    else:
-        tx = optim.build_adamw(params, sched, weight_decay=0.05, mu_dtype=mu)
+    # BENCH_OPT=chain: force the legacy optax.chain pipeline (the default
+    # build_adamw now delegates to the single-pass fused AdamW, measured
+    # ~0.5ms faster — NOTES_ROUND3.md attempt 5)
+    tx = optim.build_adamw(params, sched, weight_decay=0.05, mu_dtype=mu,
+                           force_chain=os.environ.get("BENCH_OPT") == "chain")
     state = TrainState.create(params, tx, jax.random.key(2))
 
     # BENCH_GNORM=0: drop the per-step global-grad-norm metric (an extra

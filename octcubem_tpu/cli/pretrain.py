@@ -264,6 +264,12 @@ def main(argv=None):
         state = state.replace(params=params2)
         log.info(f"init from {cfg.init_ckpt} ({cfg.resume_type}); "
                  f"fresh params: {len(rep['missing'])}")
+    if cfg.resume_type == "training_continue_reset_optim" and not cfg.resume:
+        # fail loudly: without --resume there is nothing to continue from
+        # and the run would silently train fresh params (review finding)
+        raise SystemExit(
+            "resume_type=training_continue_reset_optim requires --resume "
+            "(the run/ckpt dir whose params to continue)")
     if cfg.resume_type == "training_continue_reset_optim" and cfg.resume:
         from ..train.mae_engine import replicate_state
 

@@ -231,7 +231,12 @@ def main(argv=None):
     # zero-scaled-update fallback.
     trainable_scales = None
     partition = None
-    if cfg.lock_image and hasattr(model, "visual"):
+    # guard on the PARAM tree, not the module: flax assigns .visual in
+    # setup(), so hasattr(model, "visual") is False on the unbound
+    # module and would silently skip locking (the round-3 review caught
+    # this exact no-op one layer above the round-2 one)
+    has_visual = "visual" in params.get("params", params)
+    if cfg.lock_image and has_visual:
         # shared mask builder (optim.lit_lock_scales) — it strips the
         # 'params/' root before matching, which the round-2 inline mask
         # did not, silently unlocking everything
@@ -244,7 +249,7 @@ def main(argv=None):
                 jax.tree.map(lambda s: s > 0, scales))
         n_frozen = sum(int(s == 0) for s in jax.tree.leaves(scales))
         log.info(f"LiT lock ({cfg.lock_mode}): {n_frozen} frozen param "
-                 f"tensors, {n_unlocked} unlocked groups")
+                 f"tensors, {cfg.lock_image_unlocked_groups} unlocked groups")
 
     steps_per_epoch = max(1, len(ld))
     sched = schedules.clip_cosine_lr(cfg.lr, cfg.warmup_steps,

@@ -199,6 +199,7 @@ def build_adamw(
     num_blocks: int | None = None,
     clip_grad: float | None = None,
     mu_dtype=None,
+    force_chain: bool = False,
 ) -> optax.GradientTransformation:
     """AdamW matching the reference pretrain (betas 0.9/0.95) and finetune
     (layer decay 0.65) configurations.
@@ -211,8 +212,13 @@ def build_adamw(
     Without clip_grad/layer_decay this delegates to build_fused_adamw
     (single elementwise pass per leaf; numerically equivalent —
     test_fused_adamw_matches_optax_chain — and measured ~0.5ms faster on
-    the ViT-L MAE step, NOTES_ROUND3.md)."""
-    if clip_grad is None and (layer_decay is None or layer_decay == 1.0):
+    the ViT-L MAE step, NOTES_ROUND3.md).  NOTE the delegation changes
+    the opt_state pytree (bare ScaleByAdamState instead of the chain
+    tuple): resuming an orbax checkpoint written by the chain-built
+    optimizer needs force_chain=True to reconstruct the old structure."""
+    if force_chain:
+        pass
+    elif clip_grad is None and (layer_decay is None or layer_decay == 1.0):
         return build_fused_adamw(params, learning_rate, weight_decay,
                                  betas, mu_dtype=mu_dtype)
     txs = []

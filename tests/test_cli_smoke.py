@@ -425,3 +425,34 @@ def test_predict_cli_data_parallel_mesh(tmp_path):
     assert d1.keys() == d8.keys() and len(d1) == 10
     for k in d1:
         np.testing.assert_allclose(d1[k], d8[k], rtol=1e-4, atol=1e-6)
+
+
+def test_retclip_cli_lock_image_actually_freezes(tmp_path, caplog):
+    """Regression for the dead `hasattr(model, 'visual')` guard: flax
+    assigns .visual in setup(), so the CLI's LiT-lock block silently
+    never ran and lock_image trained every tower param.  Guarding on the
+    param tree instead, the lock must fire through the CLI with real
+    frozen tensors (reference lock(): models_vit_st_flash_attn_nodrop.py
+    :308-351)."""
+    import json
+    import logging
+
+    from octcubem_tpu.cli import retclip
+
+    cfg_path = tmp_path / "lock_cfg.json"
+    cfg_path.write_text(json.dumps({
+        "lock_image": True, "lock_image_unlocked_groups": 1,
+        "lock_mode": "partition", "accum_freq": 1,
+    }))
+    out = str(tmp_path / "rc")
+    with caplog.at_level(logging.INFO):
+        retclip.main(["--preset", str(cfg_path),
+                      "--model_config", "vitl16_octcube_ir_tiny_test",
+                      "--synthetic", "--synthetic_n", "16",
+                      "--batch_size", "8", "--epochs", "1",
+                      "--output_dir", out])
+    lock_lines = [r.message for r in caplog.records
+                  if "LiT lock" in r.message]
+    assert lock_lines, "lock block never executed through the CLI"
+    n_frozen = int(lock_lines[0].split(":")[1].split()[0])
+    assert n_frozen > 0, lock_lines[0]

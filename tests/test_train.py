@@ -214,11 +214,11 @@ def test_fused_adamw_matches_optax_chain():
                                  jnp.float32),
     }
     sched = lambda step: 1e-2 / (1 + 0.1 * step)
-    # clip_grad=1e9 never clips but forces the optax.chain path (plain
-    # build_adamw now DELEGATES to the fused impl, which would make this
-    # test compare fused against itself)
+    # force_chain pins the optax.chain path (plain build_adamw DELEGATES
+    # to the fused impl, which would make this test compare fused
+    # against itself)
     tx_ref = optim.build_adamw(params, sched, weight_decay=0.05,
-                               clip_grad=1e9)
+                               force_chain=True)
     tx_fused = optim.build_fused_adamw(params, sched, weight_decay=0.05)
     s_ref = tx_ref.init(params)
     s_fused = tx_fused.init(params)
