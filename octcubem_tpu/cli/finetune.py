@@ -219,6 +219,13 @@ def main(argv=None):
     import jax.numpy as jnp
     import dataclasses
 
+    from ..core import multihost
+    hosts = multihost.maybe_initialize()
+    if hosts["process_count"] > 1:
+        print(f"[multihost] process {hosts['process_index']}/"
+              f"{hosts['process_count']}, {hosts['global_devices']} "
+              "global devices")
+
     from ..core.config import FinetuneConfig, load_config, to_json
     from ..data import patients, transforms
     from ..utils.logging import get_logger

@@ -86,6 +86,13 @@ def main(argv=None):
                              "SPL hardness (OCTCube/main_pretrain_oph_new.py)")
     args = parser.parse_args(argv)
 
+    from ..core import multihost
+    hosts = multihost.maybe_initialize()
+    if hosts["process_count"] > 1:
+        print(f"[multihost] process {hosts['process_index']}/"
+              f"{hosts['process_count']}, {hosts['global_devices']} "
+              "global devices")
+
     if args.mode == "2d":
         return _main_2d(args)
 
@@ -139,7 +146,8 @@ def main(argv=None):
     # 2D-branch-only remat (same params, remat=True graph for the
     # memory-heavy high-res batch); no-op when remat already on
     model2d = None
-    if cfg.remat_2d and not cfg.remat and not args.tiny:
+    accum_2d = max(1, cfg.accum_2d)
+    if cfg.remat_2d and not cfg.remat and accum_2d == 1 and not args.tiny:
         model2d = mae3d.mae_vit_large_patch16(
             **model_kw, dtype=dtype, remat=True, attn_impl=attn_impl)
     frames = model.num_frames
@@ -197,6 +205,13 @@ def main(argv=None):
     # batch is sized for the smallest K so shapes stay static under jit
     min_active = max(1, int(len(ds2d) * cfg.spl_k_min))
     batch2d = _round_to_mesh(cfg.batch_size_2d, min_active // accum)
+    if accum_2d > 1:
+        assert accum == 1, "accum_iter and accum_2d are exclusive"
+        # each 2D microbatch must still shard over the data axis; when the
+        # (dataset-capped) batch is too small to split, collapse the
+        # factor instead of inflating the batch (tiny/synthetic runs)
+        accum_2d = max(1, min(accum_2d, batch2d // n_data))
+        batch2d = batch2d // (accum_2d * n_data) * (accum_2d * n_data)
     ds2d_active = spl_state.subset(ds2d)
     # accum_iter > 1: the loaders serve accum microbatches per step
     # (lax.scan in the engine accumulates grads, one optimizer update)
@@ -306,7 +321,8 @@ def main(argv=None):
 
     step_fn = make_mae_train_step(model, tx, joint=True,
                                   use_premask=cfg.use_premask,
-                                  accum_iter=accum, model2d=model2d)
+                                  accum_iter=accum, model2d=model2d,
+                                  accum_2d=accum_2d)
     jsonl = JsonlLogger(cfg.output_dir)
     tb = TBWriter(os.path.join(cfg.output_dir, 'tb'))
 
@@ -385,6 +401,15 @@ def main(argv=None):
                         v3.reshape((accum, batch3d) + v3.shape[1:]), mesh)
                     b2 = shard_microbatch(
                         v2.reshape((accum, batch2d) + v2.shape[1:]), mesh)
+                elif accum_2d > 1:
+                    # 2D-branch-only microbatching (remat-free joint fit)
+                    from ..train.mae_engine import shard_microbatch
+
+                    v2 = jnp.asarray(imgs2d)
+                    b3 = shard_batch(jnp.asarray(vols), mesh)
+                    b2 = shard_microbatch(
+                        v2.reshape((accum_2d, batch2d // accum_2d)
+                                   + v2.shape[1:]), mesh)
                 else:
                     b3 = shard_batch(jnp.asarray(vols), mesh)
                     b2 = shard_batch(jnp.asarray(imgs2d), mesh)

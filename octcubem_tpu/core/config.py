@@ -51,6 +51,12 @@ class MAEPretrainConfig:
     # 512^2 batch-64 2D side is what exceeds one chip's HBM, while the
     # 3D side keeps the faster no-remat graph (mae_engine model2d)
     remat_2d: bool = False
+    # microbatch ONLY the 2D branch (mae_engine accum_2d): peak 2D
+    # activation memory drops by the factor WITHOUT remat — measured
+    # faster than remat_2d at the headline config (759 vs 848 ms/step,
+    # NOTES_ROUND3.md).  Exclusive with accum_iter>1; batch_size_2d must
+    # divide by it.  Gradient math identical (mean over microbatches).
+    accum_2d: int = 1
     seed: int = 0
     output_dir: str = "./output_pretrain"
     resume: Optional[str] = None
@@ -187,11 +193,13 @@ class InferConfig:
 
 
 PRESETS: dict[str, Any] = {
-    # remat_2d: the full joint config (3D b4 + 2D 512^2 b64) demands
-    # ~30GB without remat — only the memory-heavy 2D branch
-    # rematerializes; measured 848.5ms/step vs 904.6 full-remat on v5e
-    # (NOTES_ROUND3.md "Joint step")
-    "vitl_joint_pretrain": MAEPretrainConfig(remat_2d=True),
+    # the full joint config (3D b4 + 2D 512^2 b64) demands ~30GB without
+    # memory mitigation on a 16GB v5e.  Measured ladder (NOTES_ROUND3.md
+    # "Joint step"): full remat 904.6ms -> remat_2d 848.5 -> accum_2d=4
+    # (2D-branch microbatching, NO remat) 759.3ms / 34.0% MFU — the
+    # remat recompute costs more than 4 sequential microbatches.
+    # remat_2d stays as the fallback for HBM-tighter configs.
+    "vitl_joint_pretrain": MAEPretrainConfig(accum_2d=4),
     # high-res joint pretrain with the 20k-token attention sharded 4-way
     # over a composed (data, sp) mesh — the case sequence parallelism was
     # built for (SURVEY §5.7 optional headroom)

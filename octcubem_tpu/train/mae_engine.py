@@ -24,7 +24,8 @@ from .train_state import TrainState
 def make_mae_train_step(model, tx, joint: bool = False,
                         use_premask: bool = False, accum_iter: int = 1,
                         compute_grad_norm: bool = True,
-                        donate: bool = True, model2d=None):
+                        donate: bool = True, model2d=None,
+                        accum_2d: int = 1):
     """Returns step(state, batch3d, mask_ratio, batch2d?, mask_ratio_2d?,
     pre_mask?) -> (state, metrics).
 
@@ -48,6 +49,17 @@ def make_mae_train_step(model, tx, joint: bool = False,
     accumulates microbatch grads and applies ONE optimizer update with
     grads/accum_iter (each micro-loss is a mean over its microbatch, so
     the average reconstructs the effective-batch-mean gradient).
+
+    accum_2d>1 (joint only, exclusive with accum_iter>1): microbatch ONLY
+    the high-res 2D branch — batch2d carries [accum_2d, micro, ...] while
+    the 3D batch goes through whole.  Peak activation memory for the 2D
+    side drops by the accumulation factor WITHOUT rematerialization, so
+    the joint headline config (3D b4 + 2D 512^2 b64) can run both
+    branches remat-free on a 16GB chip: the remat recompute (a full 2D
+    forward per step) is traded for sequential microbatches whose only
+    overhead is the fp32 grad-buffer read-modify-write per chunk.
+    Gradient math: total loss = loss3d + mean_k loss2d_k, so grads =
+    grads3d + mean_k grads2d_k — identical to the fused joint loss.
     """
 
     def loss_fn(params, rng, batch3d, mask_ratio, batch2d, mask_ratio_2d,
@@ -122,7 +134,64 @@ def make_mae_train_step(model, tx, joint: bool = False,
                    "grad_norm": optax_global_norm(grads)}
         return state, metrics
 
-    return step if accum_iter == 1 else accum_step
+    @functools.partial(jax.jit, static_argnames=("mask_ratio", "mask_ratio_2d"),
+                       donate_argnums=(0,) if donate else ())
+    def accum2d_step(state: TrainState, batch3d, mask_ratio: float = 0.9,
+                     batch2d=None, mask_ratio_2d: float = 0.75,
+                     pre_mask=None):
+        rng, new_rng = jax.random.split(state.rng)
+        r3, r2 = jax.random.split(rng)
+
+        def loss3d_fn(params):
+            pm = pre_mask
+            if use_premask and pm is None:
+                from ..data.premask import compute_premask
+
+                feat = jax.lax.stop_gradient(model.apply(
+                    params, batch3d, method=model.forward_patch_embed))
+                pm = compute_premask(feat, model.t_grid, model.grid)
+            loss3d, frame_losses, _, _ = model.apply(
+                params, batch3d, mask_ratio=mask_ratio, pre_mask=pm,
+                deterministic=False, rngs={"masking": r3, "dropout": r3})
+            return loss3d, frame_losses
+
+        (l3, fl), grads = jax.value_and_grad(
+            loss3d_fn, has_aux=True)(state.params)
+
+        r2s = jax.random.split(r2, accum_2d)
+
+        def body(carry, xs):
+            grads_acc, l2a = carry
+            r, b2 = xs
+
+            def loss2d_fn(params):
+                loss2d, _, _, _ = (model2d or model).apply(
+                    params, b2, mask_ratio=mask_ratio_2d,
+                    deterministic=False, rngs={"masking": r, "dropout": r})
+                return loss2d
+
+            l2, g = jax.value_and_grad(loss2d_fn)(state.params)
+            # accumulate g/K in place (carry starts as the 3D grads) —
+            # one fp32 grad buffer total, no second accumulator
+            return (jax.tree.map(lambda a, b: a + b / accum_2d,
+                                 grads_acc, g), l2a + l2), None
+
+        (grads, l2sum), _ = jax.lax.scan(body, (grads, 0.0), (r2s, batch2d))
+        l2 = l2sum / accum_2d
+        state = state.apply_gradients(tx, grads).replace(rng=new_rng)
+        gn = (optax_global_norm(grads) if compute_grad_norm
+              else jnp.zeros(()))
+        metrics = {"loss": l3 + l2, "loss_3d": l3, "loss_2d": l2,
+                   "frame_losses": fl, "grad_norm": gn}
+        return state, metrics
+
+    if accum_iter > 1:
+        assert accum_2d == 1, "accum_iter and accum_2d are exclusive"
+        return accum_step
+    if accum_2d > 1:
+        assert joint, "accum_2d microbatches the 2D branch of a joint step"
+        return accum2d_step
+    return step
 
 
 def make_mae_eval_step(model):

@@ -40,7 +40,11 @@ REMAT = os.environ.get("BJ_REMAT", "0") == "1"
 # model2d); 3D side keeps the no-remat graph.  Default on — the full
 # joint config OOMs on a 16GB v5e without at least the 2D side
 # rematerialized (30.4GB demand, NOTES_ROUND3.md).
-REMAT2D = os.environ.get("BJ_REMAT2D", "1") == "1" and not REMAT
+# 2D-branch-only grad accumulation: fits the joint config WITHOUT remat
+# (mae_engine accum_2d) — microbatch peak memory replaces recompute
+ACCUM2D = int(os.environ.get("BJ_ACCUM2D", "1"))
+REMAT2D = (os.environ.get("BJ_REMAT2D", "1") == "1" and not REMAT
+           and ACCUM2D == 1)
 
 
 def main():
@@ -69,7 +73,10 @@ def main():
     state = TrainState.create(params, tx, jax.random.key(2))
 
     step = make_mae_train_step(model, tx, joint=True, use_premask=PREMASK,
-                               model2d=model2d)
+                               model2d=model2d, accum_2d=ACCUM2D)
+    if ACCUM2D > 1:
+        assert BATCH2D % ACCUM2D == 0
+        x2 = x2.reshape(ACCUM2D, BATCH2D // ACCUM2D, *x2.shape[1:])
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def run_steps(state, x3, x2):
@@ -116,6 +123,7 @@ def main():
         "mfu": round(mfu, 4),
         "step_flops_T": round(step_flops / 1e12, 2),
         "premask_in_step": PREMASK, "remat": REMAT, "remat_2d": REMAT2D,
+        "accum_2d": ACCUM2D,
     }), flush=True)
 
 

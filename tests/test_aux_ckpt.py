@@ -194,6 +194,7 @@ def test_hipt_vit4k_forward():
     assert out2.shape == (2, 16) and np.isfinite(np.asarray(out2)).all()
 
 
+@pytest.mark.slow
 def test_coem_factory_selects_aux_towers():
     """A COEM config whose vision_cfg.layers is a list builds a
     ModifiedResNet visual tower; 'hipt': true builds the ViT-4k

@@ -62,6 +62,7 @@ def test_grad_default_blocks_odd_n(n):
     assert float(np.abs(np.asarray(gf[0])[:, :, 512:]).max()) > 0
 
 
+@pytest.mark.slow  # interpret-mode heavyweight; fast cls-fold cover: test_grad_default_blocks_odd_n
 @pytest.mark.parametrize("n", [129, 257, 513])
 def test_split_cls_path(n):
     """cls-prefixed sequences (n % 128 == 1) route the first token outside
@@ -81,6 +82,7 @@ def test_split_cls_path(n):
                                    atol=5e-4, rtol=5e-4)
 
 
+@pytest.mark.slow
 def test_clamped_logits_fwd_bwd_consistent():
     """When logits exceed NOMAX_CLAMP the nomax forward clamps them; the
     backward must recompute p with the same clamp (and zero ds there), so
@@ -108,6 +110,7 @@ def test_clamped_logits_fwd_bwd_consistent():
                                    atol=1e-3, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_exact_online_softmax_kernel():
     """no_max=False selects the textbook online-softmax kernel: exact for
     any logit range, fwd and bwd."""
@@ -128,6 +131,7 @@ def test_exact_online_softmax_kernel():
                                    atol=2e-3, rtol=2e-3)
 
 
+@pytest.mark.slow  # fast packed-path cover: test_packed_layout/fused_qkv variants
 @pytest.mark.parametrize("n,h", [(257, 4), (256, 4), (200, 4), (385, 8)])
 def test_packed_kernel_matches_naive(n, h):
     """The REAL packed kernels (h % G == 0, G = 128/d = 4): in-kernel

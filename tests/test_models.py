@@ -79,6 +79,7 @@ def test_mae3d_forward_3d():
     assert np.asarray(mask).sum() == 2 * 6
 
 
+@pytest.mark.slow  # joint-dispatch fast cover: test_vit_st_joint_high_res_dispatch
 def test_mae3d_forward_2d_highres():
     """2D co-training input: T = t_patch_size replicated frames, high-res."""
     m = _tiny_mae()
@@ -116,6 +117,7 @@ def test_mae3d_premask():
     assert (np.asarray(mask)[:, :2] == 1).all()
 
 
+@pytest.mark.slow
 def test_mae3d_remat_norm_equivalence():
     """remat_norm recomputes LNs in the bwd; fwd identical, grads ~exact.
 

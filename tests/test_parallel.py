@@ -18,6 +18,7 @@ E = dict(img_size=32, patch_size=16, in_chans=3, embed_dim=32, depth=2,
          num_heads=2)
 
 
+@pytest.mark.slow
 def test_clip_loss_sharded_equals_unsharded():
     m = coem.COEP2Tower(embed_dim=16, vision_cfg=V, enface_cfg=E,
                         attn_impl="naive")

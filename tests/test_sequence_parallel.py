@@ -89,6 +89,7 @@ def test_sequence_parallel_matches_unsharded():
     assert not out.sharding.is_fully_replicated
 
 
+@pytest.mark.slow  # fast sp cover: test_sequence_parallel_matches_unsharded
 def test_transformer_stack_flash_sp_matches_unsharded():
     """A full transformer stack with attn_impl='flash_sp' under an
     8-way sp mesh == the unsharded stack (same params): the attention

@@ -49,6 +49,7 @@ def test_head_parallel_attention_matches_unsharded():
                                    atol=5e-4, rtol=5e-4)
 
 
+@pytest.mark.slow  # fast tp cover: test_head_parallel_attention_matches_unsharded
 def test_transformer_stack_flash_tp_matches_unsharded():
     """Full stack under tp: Wqkv/fc1 column-sharded, out_proj/fc2
     row-sharded (tp_param_spec), attention head-sharded via flash_tp —

@@ -160,6 +160,7 @@ def _build_model():
         t_patch_size=TP, pred_t_dim=PRED_T, attn_impl="naive", parity="flash")
 
 
+@pytest.mark.slow  # full-model torch parity; fast importer cover in test_torch_parity.py
 @pytest.mark.parametrize("res", ["low", "high2d"])
 def test_mae_pred_parity(res):
     sd = make_mae_state_dict()

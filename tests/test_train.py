@@ -1,6 +1,7 @@
 import os
 
 import numpy as np
+import pytest
 import torch
 import torch.nn.functional as F
 import jax
@@ -246,6 +247,7 @@ def test_fused_adamw_matches_optax_chain():
         np.asarray(jax.tree.leaves(s_fused.mu)[0]), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_joint_step_model2d_remat_matches_plain():
     """model2d (remat=True variant on the 2D branch) must be a pure
     memory/compute tradeoff: same params, same losses, same update.
@@ -286,3 +288,58 @@ def test_joint_step_model2d_remat_matches_plain():
     jax.tree.map(lambda a, b: np.testing.assert_allclose(
         np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7),
         s_ref.params, s_hyb.params)
+
+
+@pytest.mark.slow
+def test_joint_step_accum2d_matches_manual_grads():
+    """accum_2d (2D-branch-only microbatching) must reproduce the fused
+    joint gradient: grads3d + mean_k grads2d_k with the engine's exact
+    rng derivation.  This is the remat-free path for the joint headline
+    config (mae_engine accum_2d; trades the 2D remat recompute for
+    sequential microbatches)."""
+    from octcubem_tpu.models import mae3d
+    from octcubem_tpu.train.mae_engine import make_mae_train_step
+    from octcubem_tpu.train.train_state import TrainState
+
+    kw = dict(input_size=32, high_res_input_size=64, patch_size=16,
+              in_chans=1, embed_dim=32, depth=2, num_heads=2,
+              decoder_embed_dim=16, decoder_depth=1, decoder_num_heads=2,
+              num_frames=6, t_patch_size=3, pred_t_dim=6,
+              attn_impl="naive")
+    m = mae3d.MaskedAutoencoderViT3D(**kw)
+    x3 = jax.random.normal(jax.random.key(0), (2, 6, 32, 32, 1))
+    # [accum_2d=2, micro=2, ...] for the engine; flat [4, ...] for manual
+    x2 = jax.random.normal(jax.random.key(1), (2, 2, 3, 64, 64, 1))
+    params = m.init({"params": jax.random.key(2),
+                     "masking": jax.random.key(3)}, x3, mask_ratio=0.75)
+    sched = schedules.warmup_half_cosine(1e-3, 0.0, 1, 2, 10)
+    tx = optim.build_adamw(params, sched, weight_decay=0.05)
+    rng0 = jax.random.key(4)
+
+    st = TrainState.create(jax.tree.map(jnp.array, params), tx, rng0)
+    step = make_mae_train_step(m, tx, joint=True, accum_2d=2, donate=False)
+    st_out, metrics = step(st, x3, mask_ratio=0.75, batch2d=x2,
+                           mask_ratio_2d=0.75)
+
+    # manual: same rng derivation as the engine
+    rng, _ = jax.random.split(rng0)
+    r3, r2 = jax.random.split(rng)
+    r2s = jax.random.split(r2, 2)
+
+    def total_loss(p):
+        l3, _, _, _ = m.apply(p, x3, mask_ratio=0.75, deterministic=False,
+                              rngs={"masking": r3, "dropout": r3})
+        l2s = [m.apply(p, x2[k], mask_ratio=0.75, deterministic=False,
+                       rngs={"masking": r2s[k], "dropout": r2s[k]})[0]
+               for k in range(2)]
+        return l3 + (l2s[0] + l2s[1]) / 2.0
+
+    loss, grads = jax.value_and_grad(total_loss)(st.params)
+    np.testing.assert_allclose(float(metrics["loss"]), float(loss),
+                               rtol=1e-6)
+    expected = TrainState.create(
+        jax.tree.map(jnp.array, st.params), tx, rng0).apply_gradients(
+            tx, grads)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7),
+        st_out.params, expected.params)
