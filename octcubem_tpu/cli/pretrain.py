@@ -68,6 +68,11 @@ def main(argv=None):
     parser.add_argument("--epochs", type=int, default=None)
     parser.add_argument("--batch_size", type=int, default=None)
     parser.add_argument("--steps_per_epoch", type=int, default=None)
+    parser.add_argument("--accum_iter", type=int, default=None,
+                        help="joint-step grad accumulation (both branches)")
+    parser.add_argument("--accum_2d", type=int, default=None,
+                        help="2D-branch-only microbatching (remat-free "
+                             "joint fit; set 1 to disable the preset)")
     parser.add_argument("--output_dir", default=None)
     parser.add_argument("--resume", default=None,
                         help="'latest' or a prior run dir / ckpt dir")
@@ -115,7 +120,9 @@ def main(argv=None):
         ("output_dir", args.output_dir), ("resume", args.resume),
         ("resume_type", args.resume_type), ("init_ckpt", args.init_ckpt),
         ("load_spl_dir", args.load_spl_dir),
-        ("epoch_load_spl", args.epoch_load_spl)) if v is not None}
+        ("epoch_load_spl", args.epoch_load_spl),
+        ("accum_iter", args.accum_iter),
+        ("accum_2d", args.accum_2d)) if v is not None}
     cfg = load_config(MAEPretrainConfig, args.preset, **overrides)
     os.makedirs(cfg.output_dir, exist_ok=True)
     log = get_logger("pretrain", os.path.join(cfg.output_dir, "out.log"))
@@ -145,9 +152,22 @@ def main(argv=None):
             **model_kw, dtype=dtype, attn_impl=attn_impl)
     # 2D-branch-only remat (same params, remat=True graph for the
     # memory-heavy high-res batch); no-op when remat already on
-    model2d = None
+    # joint-step memory mitigation precedence: an explicit remat_2d/remat
+    # request wins over the preset's accum_2d default; accum_iter>1
+    # already microbatches both branches so accum_2d folds into it
     accum_2d = max(1, cfg.accum_2d)
-    if cfg.remat_2d and not cfg.remat and accum_2d == 1 and not args.tiny:
+    use_remat_2d = cfg.remat_2d and not cfg.remat and not args.tiny
+    if accum_2d > 1 and use_remat_2d:
+        log.info("remat_2d=True set explicitly: disabling accum_2d="
+                 f"{accum_2d} (rematerialization is the requested "
+                 "mitigation)")
+        accum_2d = 1
+    if accum_2d > 1 and max(1, cfg.accum_iter) > 1:
+        log.info("accum_iter>1 already microbatches the joint step; "
+                 "disabling accum_2d")
+        accum_2d = 1
+    model2d = None
+    if use_remat_2d:
         model2d = mae3d.mae_vit_large_patch16(
             **model_kw, dtype=dtype, remat=True, attn_impl=attn_impl)
     frames = model.num_frames
@@ -206,7 +226,6 @@ def main(argv=None):
     min_active = max(1, int(len(ds2d) * cfg.spl_k_min))
     batch2d = _round_to_mesh(cfg.batch_size_2d, min_active // accum)
     if accum_2d > 1:
-        assert accum == 1, "accum_iter and accum_2d are exclusive"
         # each 2D microbatch must still shard over the data axis; when the
         # (dataset-capped) batch is too small to split, collapse the
         # factor instead of inflating the batch (tiny/synthetic runs)

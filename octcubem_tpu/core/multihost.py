@@ -1,10 +1,12 @@
-"""Multi-host (pod) runtime initialization.
+"""Multi-host (pod) runtime initialization and placement.
 
 Replaces the reference's env-var process-group rendezvous
 (torchrun / SLURM / OpenMPI discovery, OCTCube/util/misc.py:225-257 and
-retinal-COEM/src/training/distributed.py:35-103).  On TPU pods the JAX
-runtime already knows the topology; one call wires the hosts together and
-every mesh built afterwards spans all chips.
+retinal-COEM/src/training/distributed.py:35-103).  One `initialize()`
+call wires the hosts together and every mesh built afterwards spans all
+chips; `global_batch`/`put_tree` are the placement contracts that replace
+`jax.device_put` (which rejects shardings spanning non-addressable
+devices in multi-process runs).
 """
 
 from __future__ import annotations
@@ -17,21 +19,31 @@ def initialize(coordinator_address: str | None = None,
                process_id: int | None = None) -> dict:
     """Initialize the global JAX runtime across hosts.
 
-    On Cloud TPU pods all arguments are auto-detected.  For CPU/GPU
-    clusters pass coordinator/num_processes/process_id explicitly (or via
-    JAX_COORDINATOR_ADDRESS etc.).  Safe to call on a single host (no-op).
+    On Cloud TPU pods call with NO arguments — jax.distributed.initialize
+    auto-detects the topology.  For CPU/GPU clusters pass
+    coordinator/num_processes/process_id explicitly (or via the
+    JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID env vars,
+    picked up by jax itself when the corresponding argument is None).
     Returns a summary dict for logging.
     """
     import jax
 
-    if num_processes is None:
-        num_processes = int(os.environ.get("JAX_NUM_PROCESSES", "1"))
-    if num_processes > 1 or coordinator_address is not None:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
+    env_nproc = os.environ.get("JAX_NUM_PROCESSES")
+    if num_processes is None and env_nproc is not None:
+        num_processes = int(env_nproc)
+    if process_id is None and (pid := os.environ.get("JAX_PROCESS_ID")):
+        process_id = int(pid)
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return summary()
+
+
+def summary() -> dict:
+    import jax
+
     return {
         "process_index": jax.process_index(),
         "process_count": jax.process_count(),
@@ -43,24 +55,17 @@ def initialize(coordinator_address: str | None = None,
 def maybe_initialize() -> dict:
     """CLI-startup hook: join a multi-host cluster when the environment
     asks for one (JAX_NUM_PROCESSES > 1 or JAX_COORDINATOR_ADDRESS set),
-    else no-op.  Replaces the reference's unconditional
-    ``init_distributed_mode(args)`` call at the top of every main
-    (OCTCube/util/misc.py:225-257) — single-host runs never pay for it.
+    else no-op — single-host runs never pay for the rendezvous.  On TPU
+    pods, where everything is auto-detectable, set JAX_NUM_PROCESSES (or
+    call ``initialize()`` directly) to opt in.  Replaces the reference's
+    unconditional ``init_distributed_mode(args)`` at the top of every
+    main (OCTCube/util/misc.py:225-257).
     """
-    import jax
-
     coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
-    nproc = int(os.environ.get("JAX_NUM_PROCESSES", "1"))
-    if nproc > 1 or coord:
-        pid = os.environ.get("JAX_PROCESS_ID")
-        return initialize(coordinator_address=coord, num_processes=nproc,
-                          process_id=int(pid) if pid is not None else None)
-    return {
-        "process_index": jax.process_index(),
-        "process_count": jax.process_count(),
-        "local_devices": len(jax.local_devices()),
-        "global_devices": len(jax.devices()),
-    }
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    if (nproc is not None and int(nproc) > 1) or coord:
+        return initialize(coordinator_address=coord)
+    return summary()
 
 
 def put_tree(mesh, tree, spec_fn=None):
@@ -96,7 +101,8 @@ def put_tree(mesh, tree, spec_fn=None):
     return jax.tree_util.tree_map_with_path(place, tree)
 
 
-def global_batch(mesh, local_array, axis: str = "data"):
+def global_batch(mesh, local_array, axis: str = "data",
+                 micro_axis: bool = False):
     """Assemble a global batch-sharded array from this host's local shard.
 
     Each host loads ``global_batch_size / process_count`` samples; the
@@ -104,15 +110,23 @@ def global_batch(mesh, local_array, axis: str = "data"):
     of ``mesh`` — the multi-host analogue of the reference's
     DistributedSampler + per-rank DataLoader
     (Pre-training/main_pretrain_oph_joint_2d512_flash_attn.py:361-371).
-    Works unchanged (and cheaply) in single-process runs.
+    micro_axis=True treats dim 0 as an accumulation axis (replicated) and
+    assembles/shards dim 1 instead.  Works unchanged (and cheaply) in
+    single-process runs.
     """
     import numpy as np
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     local_array = np.asarray(local_array)
-    sharding = NamedSharding(mesh, P(axis))
-    global_shape = (local_array.shape[0] * jax.process_count(),
-                    *local_array.shape[1:])
+    if micro_axis:
+        sharding = NamedSharding(mesh, P(None, axis))
+        global_shape = (local_array.shape[0],
+                        local_array.shape[1] * jax.process_count(),
+                        *local_array.shape[2:])
+    else:
+        sharding = NamedSharding(mesh, P(axis))
+        global_shape = (local_array.shape[0] * jax.process_count(),
+                        *local_array.shape[1:])
     return jax.make_array_from_process_local_data(
         sharding, local_array, global_shape)

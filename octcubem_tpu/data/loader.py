@@ -32,7 +32,8 @@ def _collate(samples):
 
 class Loader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
-                 drop_last: bool = True, num_workers: int = 4, seed: int = 0):
+                 drop_last: bool = True, num_workers: int = 4, seed: int = 0,
+                 shard_by_process: bool = True):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -40,9 +41,22 @@ class Loader:
         self.num_workers = max(1, num_workers)
         self.seed = seed
         self.epoch = 0
+        # multi-host: each process loads a disjoint stride of the (shared
+        # seed, hence identical) permutation — the DistributedSampler
+        # equivalent (main_pretrain…py:364-371); batch_size is PER HOST
+        # and the global batch assembles via multihost.global_batch.
+        self._pidx, self._pcount = 0, 1
+        if shard_by_process:
+            try:
+                import jax
+
+                self._pidx = jax.process_index()
+                self._pcount = jax.process_count()
+            except Exception:
+                pass
 
     def __len__(self):
-        n = len(self.dataset)
+        n = len(self.dataset) // self._pcount
         if self.drop_last:
             return n // self.batch_size
         return -(-n // self.batch_size)
@@ -65,8 +79,12 @@ class Loader:
         n = len(self.dataset)
         if self.shuffle:
             rng = np.random.default_rng((self.seed, self.epoch))
-            return rng.permutation(n)
-        return np.arange(n)
+            idx = rng.permutation(n)
+        else:
+            idx = np.arange(n)
+        if self._pcount > 1:
+            idx = idx[self._pidx::self._pcount]
+        return idx
 
     def __iter__(self) -> Iterator:
         idx = self._indices()

@@ -186,10 +186,13 @@ def make_mae_train_step(model, tx, joint: bool = False,
         return state, metrics
 
     if accum_iter > 1:
-        assert accum_2d == 1, "accum_iter and accum_2d are exclusive"
+        if accum_2d != 1:
+            raise ValueError("accum_iter and accum_2d are exclusive")
         return accum_step
     if accum_2d > 1:
-        assert joint, "accum_2d microbatches the 2D branch of a joint step"
+        if not joint:
+            raise ValueError(
+                "accum_2d microbatches the 2D branch of a joint step")
         return accum2d_step
     return step
 
@@ -212,18 +215,38 @@ def optax_global_norm(tree) -> jax.Array:
 
 
 def shard_batch(batch, mesh):
-    """Place a host batch sharded over the data axis."""
+    """Place a host batch sharded over the data axis.
+
+    Multi-process runs treat ``batch`` as this host's LOCAL shard (the
+    per-host loader stride) and assemble the global array — device_put
+    cannot place onto non-addressable devices (core/multihost.py)."""
+    if jax.process_count() > 1:
+        from ..core import multihost
+
+        return jax.tree.map(
+            lambda x: multihost.global_batch(mesh, x, DATA_AXIS), batch)
     sh = NamedSharding(mesh, P(DATA_AXIS))
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
 def shard_microbatch(batch, mesh):
     """Place an [accum, micro, ...] batch with the MICRO axis sharded
-    over the data axis (accumulation chunks stay whole per device)."""
+    over the data axis (accumulation chunks stay whole per device).
+    Multi-process: dim 1 is this host's micro shard."""
+    if jax.process_count() > 1:
+        from ..core import multihost
+
+        return jax.tree.map(
+            lambda x: multihost.global_batch(mesh, x, DATA_AXIS,
+                                             micro_axis=True), batch)
     sh = NamedSharding(mesh, P(None, DATA_AXIS))
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
 def replicate_state(state, mesh):
+    if jax.process_count() > 1:
+        from ..core import multihost
+
+        return multihost.put_tree(mesh, state)
     sh = NamedSharding(mesh, P())
     return jax.tree.map(lambda x: jax.device_put(x, sh), state)

@@ -147,6 +147,37 @@ def test_loader_batching_and_determinism(tmp_path):
     assert b1[0][0].shape == (3, 2, 2)
 
 
+def test_loader_process_striding_disjoint_and_aligned():
+    """Multi-host sampler contract: with a shared seed every host draws
+    the IDENTICAL permutation and takes a disjoint stride of it; all
+    hosts yield the same number of batches even when the dataset size
+    does not divide by process count (collective alignment)."""
+    class Toy:
+        def __len__(self):
+            return 11  # deliberately not divisible by pcount=3
+
+        def __getitem__(self, i):
+            return np.int64(i)
+
+    per_host = []
+    for pidx in range(3):
+        ld = loader.Loader(Toy(), batch_size=1, shuffle=True,
+                           num_workers=1, seed=7)
+        ld._pidx, ld._pcount = pidx, 3  # simulate jax.process_index/count
+        ld.set_epoch(2)
+        assert len(ld) == 3  # floor(11/3)//1 on EVERY host
+        per_host.append([int(b[0]) for b in ld])
+    lens = {len(h) for h in per_host}
+    assert lens == {3}
+    flat = [i for h in per_host for i in h]
+    assert len(flat) == len(set(flat))  # disjoint across hosts
+    # and the union is a prefix-stride of one shared permutation
+    rng = np.random.default_rng((7, 2))
+    perm = rng.permutation(11)
+    for pidx, h in enumerate(per_host):
+        np.testing.assert_array_equal(h, perm[pidx::3][:3])
+
+
 def test_spl_state(tmp_path):
     st = spl.SPLState([f"img{i}" for i in range(10)])
     st.update_hardness([f"img{i}" for i in range(10)], np.arange(10) / 10)

@@ -87,10 +87,7 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_cluster_mae_step(tmp_path):
-    script = tmp_path / "child.py"
-    script.write_text(_CHILD)
-    port = _free_port()
+def _run_cluster(script, port):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     procs = []
     for pid in range(2):
@@ -115,10 +112,22 @@ def test_two_process_cluster_mae_step(tmp_path):
             if p.poll() is None:
                 p.kill()
                 p.communicate()
-    for pid, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"process {pid} failed:\n{out[-3000:]}"
-    losses = [re.search(r"MHLOSS ([0-9.eE+-]+)", o) for o in outs]
-    assert all(losses), [o[-500:] for o in outs]
+    return [(p.returncode, o) for p, o in zip(procs, outs)]
+
+
+def test_two_process_cluster_mae_step(tmp_path):
+    script = tmp_path / "child.py"
+    script.write_text(_CHILD)
+    # _free_port has an inherent bind-then-release race; retry once with
+    # a fresh port if the rendezvous itself failed
+    for attempt in range(2):
+        results = _run_cluster(script, _free_port())
+        if all(rc == 0 for rc, _ in results) or attempt == 1:
+            break
+    for pid, (rc, out) in enumerate(results):
+        assert rc == 0, f"process {pid} failed:\n{out[-3000:]}"
+    losses = [re.search(r"MHLOSS ([0-9.eE+-]+)", o) for _, o in results]
+    assert all(losses), [o[-500:] for _, o in results]
     l0, l1 = (float(m.group(1)) for m in losses)
     # both hosts see the identical global loss (same compiled program,
     # same global batch) — the cross-host collective actually ran

@@ -343,3 +343,50 @@ def test_joint_step_accum2d_matches_manual_grads():
     jax.tree.map(lambda a, b: np.testing.assert_allclose(
         np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7),
         st_out.params, expected.params)
+
+
+def test_joint_step_variants_fast_smoke():
+    """Fast-split coverage of all three joint-step variants (plain,
+    model2d remat, accum_2d): one tiny step each — finite losses, params
+    actually update.  Full gradient-equivalence versions are the slow
+    tests above."""
+    from octcubem_tpu.models import mae3d
+    from octcubem_tpu.train.mae_engine import make_mae_train_step
+    from octcubem_tpu.train.train_state import TrainState
+
+    kw = dict(input_size=16, high_res_input_size=32, patch_size=8,
+              in_chans=1, embed_dim=16, depth=1, num_heads=2,
+              decoder_embed_dim=16, decoder_depth=1, decoder_num_heads=2,
+              num_frames=2, t_patch_size=1, pred_t_dim=2,
+              attn_impl="naive")
+    m = mae3d.MaskedAutoencoderViT3D(**kw)
+    m2d = mae3d.MaskedAutoencoderViT3D(**kw, remat=True)
+    x3 = jax.random.normal(jax.random.key(0), (2, 2, 16, 16, 1))
+    x2_flat = jax.random.normal(jax.random.key(1), (2, 1, 32, 32, 1))
+    x2_micro = x2_flat.reshape(2, 1, 1, 32, 32, 1)
+    params = m.init({"params": jax.random.key(2),
+                     "masking": jax.random.key(3)}, x3, mask_ratio=0.5)
+    # warmup 0: step 0 must run at base_lr, not lr=0, for params to move
+    sched = schedules.warmup_half_cosine(1e-3, 0.0, 0, 2, 10)
+    tx = optim.build_adamw(params, sched, weight_decay=0.05)
+
+    variants = [
+        make_mae_train_step(m, tx, joint=True, donate=False),
+        make_mae_train_step(m, tx, joint=True, model2d=m2d, donate=False),
+        make_mae_train_step(m, tx, joint=True, accum_2d=2, donate=False),
+    ]
+    for i, step in enumerate(variants):
+        st = TrainState.create(jax.tree.map(jnp.array, params), tx,
+                               jax.random.key(4))
+        b2 = x2_micro if i == 2 else x2_flat
+        st2, metrics = step(st, x3, mask_ratio=0.5, batch2d=b2,
+                            mask_ratio_2d=0.5)
+        assert np.isfinite(float(metrics["loss"])), (i, metrics["loss"])
+        assert float(metrics["loss_2d"]) > 0.0, i
+        # params actually moved somewhere in the tree (individual leaves
+        # like zero-init tokens can legitimately stay still for a step)
+        moved = sum(
+            float(jnp.abs(a - b).sum())
+            for a, b in zip(jax.tree.leaves(st.params),
+                            jax.tree.leaves(st2.params)))
+        assert moved > 0.0, i
