@@ -76,6 +76,21 @@ with mesh:
 
 assert np.isfinite(loss), loss
 print(f"MHLOSS {loss:.8f} pid={pid}", flush=True)
+
+# accum-microbatch feeding contract: each host contributes its micro
+# shard along dim 1 ([accum, micro_local, ...] -> global [accum, 4, ...]
+# with dim 1 sharded over 'data'), the micro_axis=True path of
+# multihost.global_batch / mae_engine.shard_microbatch
+xm_local = (np.arange(2 * 2 * 6 * 32 * 32, dtype=np.float32)
+            .reshape(2, 2, 6, 32, 32, 1) / 2e4 + pid)
+with mesh:
+    batch_m = multihost.global_batch(mesh, xm_local, micro_axis=True)
+    assert batch_m.shape[:2] == (2, 4), batch_m.shape
+    step_m = make_mae_train_step(model, tx, accum_iter=2)
+    state, metrics_m = step_m(state, batch_m, mask_ratio=0.75)
+    loss_m = float(metrics_m["loss"])
+assert np.isfinite(loss_m), loss_m
+print(f"MHLOSS2 {loss_m:.8f} pid={pid}", flush=True)
 """
 
 
@@ -126,9 +141,10 @@ def test_two_process_cluster_mae_step(tmp_path):
             break
     for pid, (rc, out) in enumerate(results):
         assert rc == 0, f"process {pid} failed:\n{out[-3000:]}"
-    losses = [re.search(r"MHLOSS ([0-9.eE+-]+)", o) for _, o in results]
-    assert all(losses), [o[-500:] for _, o in results]
-    l0, l1 = (float(m.group(1)) for m in losses)
-    # both hosts see the identical global loss (same compiled program,
-    # same global batch) — the cross-host collective actually ran
-    assert l0 == l1, (l0, l1)
+    for tag in ("MHLOSS", "MHLOSS2"):
+        losses = [re.search(tag + r" ([0-9.eE+-]+)", o) for _, o in results]
+        assert all(losses), [o[-500:] for _, o in results]
+        l0, l1 = (float(m.group(1)) for m in losses)
+        # both hosts see the identical global loss (same compiled program,
+        # same global batch) — the cross-host collective actually ran
+        assert l0 == l1, (tag, l0, l1)
