@@ -83,7 +83,12 @@ class Loader:
         else:
             idx = np.arange(n)
         if self._pcount > 1:
-            idx = idx[self._pidx::self._pcount]
+            # truncate to the floored per-host count so EVERY host holds
+            # exactly the same number of indices — otherwise the remainder
+            # lands on low-index hosts and (with drop_last=False) the last
+            # batch's local shape differs across hosts, breaking the
+            # multihost.global_batch same-local-shape contract
+            idx = idx[self._pidx::self._pcount][:n // self._pcount]
         return idx
 
     def __iter__(self) -> Iterator:

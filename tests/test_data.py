@@ -178,6 +178,32 @@ def test_loader_process_striding_disjoint_and_aligned():
         np.testing.assert_array_equal(h, perm[pidx::3][:3])
 
 
+def test_loader_striding_no_drop_last_same_shapes_across_hosts():
+    """drop_last=False + process striding: every host must yield the
+    SAME batch shapes (including the final partial batch) or the
+    multihost.global_batch same-local-shape contract breaks — the
+    permutation remainder may not land on low-index hosts."""
+    class Toy:
+        def __len__(self):
+            return 11
+
+        def __getitem__(self, i):
+            return np.int64(i)
+
+    shapes_per_host = []
+    for pidx in range(3):
+        ld = loader.Loader(Toy(), batch_size=2, shuffle=True,
+                           drop_last=False, num_workers=1, seed=7)
+        ld._pidx, ld._pcount = pidx, 3
+        ld.set_epoch(1)
+        batches = list(ld)
+        assert len(batches) == len(ld) == 2  # ceil(floor(11/3)/2)
+        shapes_per_host.append([b.shape for b in batches])
+    assert shapes_per_host[0] == shapes_per_host[1] == shapes_per_host[2]
+    # final batch is the 1-sample remainder of the floored per-host count
+    assert shapes_per_host[0][-1] == (1,)
+
+
 def test_spl_state(tmp_path):
     st = spl.SPLState([f"img{i}" for i in range(10)])
     st.update_hardness([f"img{i}" for i in range(10)], np.arange(10) / 10)
