@@ -21,6 +21,43 @@ def test_pretrain_cli_smoke(tmp_path):
     assert os.path.isdir(os.path.join(out, "ckpt", "0"))
 
 
+def test_export_cli_roundtrips_pretrain_ckpt(tmp_path):
+    """cli.export hands a trained orbax checkpoint back to the reference
+    ecosystem: the .pth reloads through compat.torch_import into a
+    fresh model with zero missing/unexpected keys and identical leaves."""
+    import jax
+    import jax.numpy as jnp
+
+    from octcubem_tpu.cli import export, pretrain
+    from octcubem_tpu.compat.torch_import import (import_state_dict,
+                                                  load_torch_checkpoint)
+    from octcubem_tpu.core.checkpoint import restore_raw
+
+    out = str(tmp_path / "pt")
+    pretrain.main(["--synthetic", "--tiny", "--epochs", "1",
+                   "--batch_size", "8", "--steps_per_epoch", "1",
+                   "--output_dir", out])
+    pth = str(tmp_path / "export.pth")
+    export.main(["--ckpt", out, "--out", pth])
+    assert os.path.exists(pth)
+
+    raw, _ = restore_raw(os.path.join(out, "ckpt"))
+    trained = raw["params"]
+    sd = load_torch_checkpoint(pth)
+    template = jax.tree.map(lambda x: jnp.zeros_like(jnp.asarray(x)),
+                            trained)
+    back, rep = import_state_dict(template, sd, strict=True)
+    assert rep["missing"] == [] and rep["unexpected"] == [], rep
+    flat_t = {tuple(str(k) for k in p): v for p, v
+              in jax.tree_util.tree_leaves_with_path(trained)}
+    flat_b = {tuple(str(k) for k in p): v for p, v
+              in jax.tree_util.tree_leaves_with_path(back)}
+    assert set(flat_t) == set(flat_b)
+    for k in flat_t:
+        np.testing.assert_array_equal(np.asarray(flat_t[k]),
+                                      np.asarray(flat_b[k]), err_msg=str(k))
+
+
 def _write_png(path, rng, size=40):
     from PIL import Image
 
