@@ -41,9 +41,13 @@ BATCH = int(os.environ.get("BENCH_BATCH", "4"))
 # program; kernels/fwd/bwd/noopt all pass in isolation — see
 # NOTES_ROUND3.md "Batch-6 crash").  Batches 4/5/7/8 verified good;
 # 4 is the throughput optimum.
-if BATCH == 6:
-    print("WARNING: batch 6 is known to hard-fault the TPU worker on "
-          "this toolchain (NOTES_ROUND3.md); use 4/5/7/8", flush=True)
+if BATCH == 6 and os.environ.get("BENCH_ALLOW_BATCH6") != "1":
+    import sys
+
+    print("REFUSING: batch 6 deterministically hard-faults the TPU worker "
+          "on this toolchain (NOTES_ROUND3.md bisection); use 4/5/7/8, or "
+          "set BENCH_ALLOW_BATCH6=1 for deliberate repro work", flush=True)
+    sys.exit(2)
 REMAT = os.environ.get("BENCH_REMAT", "0") == "1"
 # BENCH_MESH=1: shard the batch over ALL local devices (batch scales with
 # device count; vol/s reported per chip). Off by default to keep the

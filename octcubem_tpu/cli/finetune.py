@@ -220,11 +220,7 @@ def main(argv=None):
     import dataclasses
 
     from ..core import multihost
-    hosts = multihost.maybe_initialize()
-    if hosts["process_count"] > 1:
-        print(f"[multihost] process {hosts['process_index']}/"
-              f"{hosts['process_count']}, {hosts['global_devices']} "
-              "global devices")
+    multihost.announce()
 
     from ..core.config import FinetuneConfig, load_config, to_json
     from ..data import patients, transforms

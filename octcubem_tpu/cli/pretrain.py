@@ -81,6 +81,10 @@ def main(argv=None):
     parser.add_argument("--init_ckpt", default=None)
     parser.add_argument("--load_spl_dir", default=None)
     parser.add_argument("--epoch_load_spl", type=int, default=None)
+    parser.add_argument("--opt_chain", action="store_true", default=None,
+                        help="legacy optax.chain AdamW opt_state layout "
+                             "(resume checkpoints from pre-fused-AdamW "
+                             "runs)")
     parser.add_argument("--tiny", action="store_true",
                         help="tiny model dims for smoke runs")
     parser.add_argument("--eval_only", action="store_true",
@@ -92,11 +96,7 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     from ..core import multihost
-    hosts = multihost.maybe_initialize()
-    if hosts["process_count"] > 1:
-        print(f"[multihost] process {hosts['process_index']}/"
-              f"{hosts['process_count']}, {hosts['global_devices']} "
-              "global devices")
+    multihost.announce()
 
     if args.mode == "2d":
         return _main_2d(args)
@@ -122,7 +122,8 @@ def main(argv=None):
         ("load_spl_dir", args.load_spl_dir),
         ("epoch_load_spl", args.epoch_load_spl),
         ("accum_iter", args.accum_iter),
-        ("accum_2d", args.accum_2d)) if v is not None}
+        ("accum_2d", args.accum_2d),
+        ("opt_chain", args.opt_chain)) if v is not None}
     cfg = load_config(MAEPretrainConfig, args.preset, **overrides)
     os.makedirs(cfg.output_dir, exist_ok=True)
     log = get_logger("pretrain", os.path.join(cfg.output_dir, "out.log"))
@@ -238,7 +239,10 @@ def main(argv=None):
     ld2 = loader_lib.Loader(ds2d_active, batch2d * accum, num_workers=2)
     loader2_iter = loader_lib.cycle(ld2)
     assert len(ld3) > 0, "empty train loader (batch larger than dataset?)"
-    eff_batch = batch3d * accum
+    # effective batch spans all hosts: loader batch_size is PER HOST
+    # (reference eff_batch_size = batch * accum_iter * world_size,
+    # main_pretrain_oph_joint_2d512_flash_attn.py)
+    eff_batch = batch3d * accum * jax.process_count()
     lr = schedules.scale_base_lr(cfg.blr, eff_batch)
     steps_per_epoch = args.steps_per_epoch or max(1, len(ld3))
     sched = schedules.warmup_half_cosine(lr, cfg.min_lr, cfg.warmup_epochs,
@@ -250,7 +254,8 @@ def main(argv=None):
             {"params": k, "masking": k}, x, mask_ratio=cfg.mask_ratio))(
                 jax.random.key(cfg.seed), x0)
     tx = optim.build_adamw(params, sched, cfg.weight_decay,
-                           clip_grad=cfg.clip_grad)
+                           clip_grad=cfg.clip_grad,
+                           force_chain=cfg.opt_chain)
     state = TrainState.create(params, tx, jax.random.key(cfg.seed + 1))
 
     # resume-type dispatch (reference main_pretrain…py:457-571, 7 types):
@@ -312,9 +317,15 @@ def main(argv=None):
         prev = cfg.output_dir if cfg.resume == "latest" else cfg.resume
         if os.path.basename(os.path.normpath(prev)) != "ckpt":
             prev = os.path.join(prev, "ckpt")
-        state_prev, _, step_prev = ckpt_lib.restore_checkpoint(prev, state)
-        state = replicate_state(
-            state.replace(params=state_prev.params), mesh)
+        # restore RAW (no template): only params are wanted, and the
+        # prior run's opt_state pytree may not match this run's optimizer
+        # (different clip_grad / opt_chain / pre-fused-AdamW runs) —
+        # a full-TrainState template restore would fail on that mismatch
+        raw_prev, step_prev = ckpt_lib.restore_raw(prev)
+        params_prev = jax.tree.map(
+            lambda t, s: jnp.asarray(s, t.dtype), state.params,
+            raw_prev["params"])
+        state = replicate_state(state.replace(params=params_prev), mesh)
         log.info(f"params restored from {prev} (step {step_prev}); "
                  "optimizer reset, epochs restart at 0")
         if cfg.epoch_load_spl >= 0 and cfg.load_spl_dir:
@@ -358,11 +369,14 @@ def main(argv=None):
                 out = eval_fn(state.params, b3, jax.random.key(it))
                 losses.append(float(out["loss"]))
                 if it == 0:
+                    # multi-host: render this host's local rows only
+                    mask_np = multihost.local_rows(out["mask"])
                     panels = reconstruction_panels(
-                        np.asarray(b3), np.asarray(out["pred"]),
-                        np.asarray(out["mask"]), model.t_pred_patch_size,
+                        multihost.local_rows(b3),
+                        multihost.local_rows(out["pred"]),
+                        mask_np, model.t_pred_patch_size,
                         model.patch_size,
-                        (np.asarray(out["mask"]).shape[1]
+                        (mask_np.shape[1]
                          // model.grid ** 2, model.grid, model.grid))
                     path = save_recon_grid(panels, cfg.output_dir, "eval")
                     log.info(f"recon dump: {path}")
@@ -395,10 +409,16 @@ def main(argv=None):
                     raise RuntimeError(f"Loss is {loss}, stopping training")
                 # SPL hardness: the 3D batch's per-tube frame losses are
                 # written into the frame-keyed 2D hardness dict
-                # (engine_pretrain.py:133-146) — NOT the 2D batch's names
+                # (engine_pretrain.py:133-146) — NOT the 2D batch's names.
+                # Multi-host: frame_losses is sharded over the global data
+                # axis; this host reads only ITS rows (local_rows), which
+                # line up with its local fpaths (global_batch layout)
+                frame_losses = multihost.local_rows(metrics["frame_losses"])
+                vol_paths = list(zip(*fpaths))
+                assert len(vol_paths) == frame_losses.shape[0], (
+                    len(vol_paths), frame_losses.shape)
                 spl_state.update_from_volume_losses(
-                    list(zip(*fpaths)), metrics["frame_losses"],
-                    model.t_patch_size)
+                    vol_paths, frame_losses, model.t_patch_size)
                 meter.update(loss=loss, loss_3d=float(metrics["loss_3d"]),
                              loss_2d=float(metrics["loss_2d"]),
                              grad_norm=float(metrics["grad_norm"]))

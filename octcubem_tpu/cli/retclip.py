@@ -104,11 +104,7 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from ..core import multihost
-    hosts = multihost.maybe_initialize()
-    if hosts["process_count"] > 1:
-        print(f"[multihost] process {hosts['process_index']}/"
-              f"{hosts['process_count']}, {hosts['global_devices']} "
-              "global devices")
+    multihost.announce()
 
     from ..core.config import RetClipConfig, load_config, to_json
     from ..core import mesh as meshlib, checkpoint as ckpt_lib

@@ -104,6 +104,9 @@ def _make_model(args, num_outputs, vcfg, ecfg, edim):
 
 def main(argv=None):
     args = _build_parser().parse_args(argv)
+    from ..core import multihost
+
+    multihost.announce()  # join a pod cluster when the env opts in
     if args.manifest_csv:
         return _main_manifest(args)
     return _main_synthetic(args)

@@ -43,6 +43,12 @@ class MAEPretrainConfig:
     min_lr: float = 0.0
     weight_decay: float = 0.05
     clip_grad: Optional[float] = None
+    # force the legacy optax.chain AdamW pipeline instead of the fused
+    # single-pass default (optim.build_adamw delegation): the two are
+    # numerically equivalent but their opt_state PYTREES differ, so
+    # resuming a checkpoint written by a chain-built optimizer (any run
+    # predating the fused default) needs opt_chain=true
+    opt_chain: bool = False
     spl_k_max: float = 0.7
     spl_k_min: float = 0.3
     precision: str = "bf16"

@@ -68,6 +68,43 @@ def maybe_initialize() -> dict:
     return summary()
 
 
+def announce() -> dict:
+    """maybe_initialize + one status line when a cluster formed — the
+    shared CLI-startup block (every training CLI calls this)."""
+    info = maybe_initialize()
+    if info["process_count"] > 1:
+        print(f"[multihost] process {info['process_index']}/"
+              f"{info['process_count']}, {info['global_devices']} "
+              "global devices")
+    return info
+
+
+def local_rows(arr):
+    """This host's rows of a batch-dim-sharded global array, as numpy,
+    in the order this host fed them to ``global_batch``.
+
+    np.asarray on an array spanning non-addressable devices raises in
+    multi-process runs; the host-side per-sample reads (SPL hardness,
+    recon dumps) must consume only the local shard.  Addressable shards
+    are concatenated in global-index order — global_batch lays each
+    host's local array out as one contiguous index-ordered slice, so
+    this inverts it exactly.  Single-process: plain np.asarray.
+    """
+    import numpy as np
+    import jax
+
+    if jax.process_count() == 1 or (
+            hasattr(arr, "is_fully_replicated") and arr.is_fully_replicated):
+        return np.asarray(arr)
+    # dedupe by global index: rows replicated over other mesh axes (e.g.
+    # fsdp) appear once per replica device in addressable_shards
+    by_start = {}
+    for s in arr.addressable_shards:
+        by_start.setdefault(s.index[0].start or 0, s.data)
+    return np.concatenate(
+        [np.asarray(by_start[k]) for k in sorted(by_start)])
+
+
 def put_tree(mesh, tree, spec_fn=None):
     """Place a pytree of host-replicated arrays as GLOBAL jax.Arrays.
 

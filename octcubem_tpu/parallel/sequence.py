@@ -25,27 +25,7 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.flash_attention import flash_attention_rect
-
-# jax moved shard_map to the top level (>=0.8) and renamed check_rep ->
-# check_vma along the way; resolve the callable and the kwarg name by
-# signature so any version in the supported range works.
-import inspect as _inspect
-
-if hasattr(jax, "shard_map"):
-    _shard_map_impl = jax.shard_map
-else:  # pragma: no cover
-    try:
-        from jax.sharding import shard_map as _shard_map_impl  # type: ignore
-    except ImportError:
-        from jax.experimental.shard_map import (  # type: ignore
-            shard_map as _shard_map_impl)
-_CHECK_KW = ("check_vma" if "check_vma" in
-             _inspect.signature(_shard_map_impl).parameters else "check_rep")
-
-
-def shard_map(f, *, mesh, in_specs, out_specs, check_rep=True):
-    return _shard_map_impl(f, mesh=mesh, in_specs=in_specs,
-                           out_specs=out_specs, **{_CHECK_KW: check_rep})
+from .shmap import shard_map  # noqa: F401  (re-exported; pre-shim import path)
 
 
 def sequence_parallel_attention(q, k, v, mesh: Mesh, axis: str = "sp",

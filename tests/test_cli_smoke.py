@@ -137,6 +137,20 @@ def test_pretrain_resume_types(tmp_path):
     assert int(state_b.step) == 0  # optimizer reset
     assert int(state_a.step) > 0
 
+    # --- continuing across a DIFFERENT optimizer structure: run A saved
+    # the fused-AdamW opt_state; a chain-layout run (--opt_chain) can
+    # still continue its params because the restore is raw params-only,
+    # not a full-TrainState template (self-review finding)
+    out_b2 = str(tmp_path / "b2")
+    state_b2 = pretrain.main(
+        ["--synthetic", "--tiny", "--epochs", "0", "--batch_size", "8",
+         "--output_dir", out_b2, "--resume", out_a,
+         "--resume_type", "training_continue_reset_optim", "--opt_chain"])
+    lb2 = jax.tree.leaves(state_b2.params)
+    assert all(np.allclose(np.asarray(x), np.asarray(y))
+               for x, y in zip(la, lb2))
+    assert isinstance(state_b2.opt_state, tuple)  # chain layout in force
+
     # --- imagenet_ft: supervised timm-style 2D ckpt (fused qkv, final
     # norm, 1000-class head + pre_logits) through the 2D->3D chain
     d, p, hid = 64, 16, 256

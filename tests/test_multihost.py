@@ -77,6 +77,14 @@ with mesh:
 assert np.isfinite(loss), loss
 print(f"MHLOSS {loss:.8f} pid={pid}", flush=True)
 
+# per-sample host reads must use local_rows: frame_losses spans the
+# global batch (np.asarray would raise on non-addressable devices);
+# each host gets exactly ITS 2 rows back (the SPL hardness contract)
+fl = multihost.local_rows(metrics["frame_losses"])
+assert fl.shape[0] == 2, fl.shape
+assert np.isfinite(fl).all()
+print(f"MHROWS {fl.sum():.8f} pid={pid}", flush=True)
+
 # accum-microbatch feeding contract: each host contributes its micro
 # shard along dim 1 ([accum, micro_local, ...] -> global [accum, 4, ...]
 # with dim 1 sharded over 'data'), the micro_axis=True path of
@@ -148,3 +156,9 @@ def test_two_process_cluster_mae_step(tmp_path):
         # both hosts see the identical global loss (same compiled program,
         # same global batch) — the cross-host collective actually ran
         assert l0 == l1, (tag, l0, l1)
+    # local_rows returns DIFFERENT rows per host (each host fed distinct
+    # volumes: +pid offset), unlike the replicated losses above
+    rows = [re.search(r"MHROWS ([0-9.eE+-]+)", o) for _, o in results]
+    assert all(rows), [o[-500:] for _, o in results]
+    r0, r1 = (float(m.group(1)) for m in rows)
+    assert r0 != r1, (r0, r1)
