@@ -17,13 +17,16 @@ def resize_trilinear_np(vol: np.ndarray, out_thw: tuple[int, int, int]) -> np.nd
     vol = vol.astype(np.float32, copy=False)
     if t != ot:
         vol = np.einsum("Tt,...thw->...Thw",
-                        _interp_matrix_1d(t, ot, "linear").astype(np.float32), vol)
+                        _interp_matrix_1d(t, ot, "linear").astype(np.float32), vol,
+                        optimize=True)
     if h != oh:
         vol = np.einsum("Hh,...thw->...tHw",
-                        _interp_matrix_1d(h, oh, "linear").astype(np.float32), vol)
+                        _interp_matrix_1d(h, oh, "linear").astype(np.float32), vol,
+                        optimize=True)
     if w != ow:
         vol = np.einsum("Ww,...thw->...thW",
-                        _interp_matrix_1d(w, ow, "linear").astype(np.float32), vol)
+                        _interp_matrix_1d(w, ow, "linear").astype(np.float32), vol,
+                        optimize=True)
     return vol
 
 
@@ -34,10 +37,12 @@ def resize_bilinear_np(img: np.ndarray, out_hw: tuple[int, int]) -> np.ndarray:
     img = img.astype(np.float32, copy=False)
     if h != oh:
         img = np.einsum("Hh,...hw->...Hw",
-                        _interp_matrix_1d(h, oh, "linear").astype(np.float32), img)
+                        _interp_matrix_1d(h, oh, "linear").astype(np.float32), img,
+                        optimize=True)
     if w != ow:
         img = np.einsum("Ww,...hw->...hW",
-                        _interp_matrix_1d(w, ow, "linear").astype(np.float32), img)
+                        _interp_matrix_1d(w, ow, "linear").astype(np.float32), img,
+                        optimize=True)
     return img
 
 
@@ -48,8 +53,10 @@ def resize_bicubic_np(img: np.ndarray, out_hw: tuple[int, int]) -> np.ndarray:
     img = img.astype(np.float32, copy=False)
     if h != oh:
         img = np.einsum("Hh,...hw->...Hw",
-                        _interp_matrix_1d(h, oh, "cubic").astype(np.float32), img)
+                        _interp_matrix_1d(h, oh, "cubic").astype(np.float32), img,
+                        optimize=True)
     if w != ow:
         img = np.einsum("Ww,...hw->...hW",
-                        _interp_matrix_1d(w, ow, "cubic").astype(np.float32), img)
+                        _interp_matrix_1d(w, ow, "cubic").astype(np.float32), img,
+                        optimize=True)
     return img
