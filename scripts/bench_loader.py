@@ -113,6 +113,20 @@ def main():
           f"{'KEEPS UP' if vps >= 16.3 else 'UNDERFEEDS'} at "
           f"{vps/16.3:.2f}x demand")
 
+    # --- the joint step's 2D high-res branch: Pretrain2DDataset at 512^2
+    # (center frames as tubes; demand at the production joint config is
+    # ~84 img/s — accum_2d=4, 2D batch 64, 759ms step)
+    from octcubem_tpu.data import spl as spl_lib
+
+    ds2 = spl_lib.Pretrain2DDataset(visits=visits, size=512, t_patch=3)
+    k = min(48, len(ds2))
+    t2 = timeit(lambda: [ds2[i] for i in range(k)], 2) / k
+    ips = 1 / t2
+    print(f"2D 512^2 branch: {t2*1e3:.1f} ms/img ({ips:.1f} img/s/core)")
+    print(f"host cores per chip: 3D-only step (16.3 vol/s) needs "
+          f"{16.3/vps:.1f}; production joint step (5.27 vol/s + 84 img/s, "
+          f"NOTES_ROUND3) needs {5.27/vps + 84/ips:.1f}")
+
 
 if __name__ == "__main__":
     main()
