@@ -30,6 +30,9 @@ def main(argv=None):
     parser.add_argument("--input_size", type=int, default=256)
     parser.add_argument("--nb_classes", type=int, default=16)
     parser.add_argument("--precision", default="bf16")
+    parser.add_argument("--quant", choices=["none", "int8"], default="none",
+                        help="int8: PTQ the block projections (s8xs8->s32 "
+                             "MXU, ops/quant.py); attention stays bf16 flash")
     parser.add_argument("--dump_embeddings", default=None,
                         help="optional .npz path for pre-head embeddings")
     parser.add_argument("--n_data", type=int, default=1,
@@ -71,19 +74,28 @@ def main(argv=None):
     dtype = jnp.float32 if args.precision == "fp32" else jnp.bfloat16
     if args.precision == "fp32":
         jax.config.update("jax_default_matmul_precision", "highest")
-    model = VisionTransformerST(
+    model_kw = dict(
         num_frames=args.num_frames, t_patch_size=3, img_size=args.input_size,
         in_chans=1, num_classes=args.nb_classes,
         embed_dim=args.embed_dim or 1024, depth=args.depth or 24,
         num_heads=args.num_heads or 16, head_type="dropout",
         global_pool=True, dtype=dtype)
+    model = VisionTransformerST(**model_kw, quant=args.quant == "int8")
+    # checkpoints are fp32; import into the float layout, then PTQ-convert
+    fp_model = (VisionTransformerST(**model_kw) if args.quant == "int8"
+                else model)
     x0 = jnp.zeros((args.batch_size, args.num_frames, args.input_size,
                     args.input_size, 1))
-    params = jax.jit(model.init)(jax.random.key(0), x0)
+    params = jax.jit(fp_model.init)(jax.random.key(0), x0)
     if args.ckpt:
         sd = load_torch_checkpoint(args.ckpt)
         params, rep = import_state_dict(params, sd, strict=False)
         log.info(f"loaded {args.ckpt}")
+    if args.quant == "int8":
+        from ..ops.quant import quantize_tree
+        params = jax.jit(
+            lambda p: {"params": quantize_tree(p["params"])})(params)
+        log.info("int8 PTQ applied to block projections")
 
     # multi-chip serving (--n_data N, or 0 = all devices): shard each
     # batch over the mesh 'data' axis with params replicated.  Mirrors

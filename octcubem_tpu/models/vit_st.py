@@ -55,6 +55,10 @@ class VisionTransformerST(nn.Module):
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
     remat: bool = False
+    # int8 PTQ serving path: block projections run s8xs8->s32 on the MXU
+    # (ops/quant.py); params come from ops.quant.quantize_tree on a trained
+    # checkpoint.  Inference-only (beyond-reference serving headroom).
+    quant: bool = False
 
     def setup(self):
         self.patch_embed = PatchEmbed3D(
@@ -92,7 +96,7 @@ class VisionTransformerST(nn.Module):
             self.depth, self.embed_dim, self.num_heads, self.mlp_ratio,
             self.qkv_bias, self.drop_path_rate, dtype=self.dtype,
             attn_impl=self.attn_impl, parity=self.parity, remat=self.remat,
-            capture_cam=self.capture_cam,
+            quant=self.quant, capture_cam=self.capture_cam,
         )
         self.norm = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32)
         if self.head_type == "aggregate":

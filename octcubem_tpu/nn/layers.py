@@ -22,8 +22,36 @@ import flax.linen as nn
 from ..ops.attention import (multi_head_attention,
                              multi_head_attention_packed,  # noqa: F401
                              multi_head_attention_qkv)
+from ..ops.quant import int8_matmul
 
 LN_EPS = 1e-6  # partial(nn.LayerNorm, eps=1e-6) everywhere in the reference
+
+
+class QuantDense(nn.Module):
+    """Int8 serving-path Dense: per-channel int8 weights + dynamic
+    per-token activation quantization (ops/quant.py).
+
+    Params: {kernel_q: int8 [K, N], scale: fp32 [N], bias} — produced from
+    a trained Dense by ``ops.quant.quantize_tree`` (module names unchanged,
+    so the converted tree drops straight into a ``quant=True`` model)."""
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k = x.shape[-1]
+        kernel_q = self.param(
+            "kernel_q", lambda _, s: jnp.zeros(s, jnp.int8),
+            (k, self.features))
+        scale = self.param(
+            "scale", lambda _, s: jnp.ones(s, jnp.float32), (self.features,))
+        y = int8_matmul(x.astype(self.dtype), kernel_q, scale)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(y.dtype)
+        return y
 
 
 class DropPath(nn.Module):
@@ -47,14 +75,16 @@ class Mlp(nn.Module):
     out_dim: int
     dtype: jnp.dtype = jnp.float32
     drop: float = 0.0
+    quant: bool = False  # int8 serving path (ops/quant.py)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        dense = QuantDense if self.quant else nn.Dense
+        x = dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
         x = jax.nn.gelu(x, approximate=False)  # torch nn.GELU default (erf)
         if self.drop > 0:
             x = nn.Dropout(self.drop)(x, deterministic=deterministic)
-        x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
+        x = dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
         if self.drop > 0:
             x = nn.Dropout(self.drop)(x, deterministic=deterministic)
         return x
@@ -68,20 +98,22 @@ class MHA(nn.Module):
     qkv_bias: bool = True
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
+    quant: bool = False  # int8 projections; attention itself stays bf16
 
     @nn.compact
     def __call__(self, x):
         b, n, _ = x.shape
+        dense = QuantDense if self.quant else nn.Dense
         # packed-head path: q/k/v stay [B, N, H*D] end to end — no
         # [B,H,N,D] transposes, whose 32-wide minor dim the TPU layout
         # pads 4x (ops/flash_attention.py packed-layout notes)
-        qkv = nn.Dense(3 * self.dim, use_bias=self.qkv_bias, dtype=self.dtype,
-                       name="Wqkv")(x)
+        qkv = dense(3 * self.dim, use_bias=self.qkv_bias, dtype=self.dtype,
+                    name="Wqkv")(x)
         # fused dispatch: the flash path reads q/k/v out of the Wqkv
         # buffer in-kernel (no slice materialization)
         out = multi_head_attention_qkv(qkv, self.num_heads,
                                        impl=self.attn_impl)
-        return nn.Dense(self.dim, dtype=self.dtype, name="out_proj")(out)
+        return dense(self.dim, dtype=self.dtype, name="out_proj")(out)
 
 
 class Block(nn.Module):
@@ -101,18 +133,20 @@ class Block(nn.Module):
     # HBM residual traffic per decoder-shape LN (NOTES_ROUND3.md
     # attempt 7).  Param names are unchanged (lifted transform).
     remat_norm: bool = False
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         norm_cls = nn.remat(nn.LayerNorm) if self.remat_norm else nn.LayerNorm
         a = norm_cls(epsilon=LN_EPS, dtype=jnp.float32, name="norm1")(x)
         a = MHA(self.dim, self.num_heads, self.qkv_bias, self.dtype,
-                self.attn_impl, name="mixer")(a.astype(self.dtype))
+                self.attn_impl, self.quant, name="mixer")(a.astype(self.dtype))
         a = DropPath(self.drop_path, name="drop_path1")(a, deterministic)
         x = x + a
         m = norm_cls(epsilon=LN_EPS, dtype=jnp.float32, name="norm2")(x)
         m = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.dtype,
-                self.drop, name="mlp")(m.astype(self.dtype), deterministic)
+                self.drop, self.quant,
+                name="mlp")(m.astype(self.dtype), deterministic)
         m = DropPath(self.drop_path, name="drop_path2")(m, deterministic)
         return x + m, m
 
@@ -138,6 +172,7 @@ class TransformerStack(nn.Module):
     parity: str = "flash"
     remat: bool = False
     remat_norm: bool = False
+    quant: bool = False
     # Grad-CAM support: insert zero-valued perturbation points after each
     # block (flax perturb); gradients w.r.t. the 'perturbations' collection
     # are exactly dScore/dActivation (see utils/saliency.py)
@@ -159,7 +194,7 @@ class TransformerStack(nn.Module):
                 self.dim, self.num_heads, self.mlp_ratio, self.qkv_bias,
                 dpr[i], self.drop, self.dtype, self.attn_impl,
                 remat_norm=self.remat_norm and not self.remat,
-                name=f"blocks_{i}"
+                quant=self.quant, name=f"blocks_{i}"
             )
             x, m = blk(x, deterministic)
             if self.capture_cam:

@@ -30,6 +30,10 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 FRAMES, IMG, TPATCH, PATCH = 48, 256, 3, 16
 STEPS = int(os.environ.get("IB_STEPS", "50"))
 BATCHES = [int(b) for b in os.environ.get("IB_BATCHES", "1,4,8").split(",")]
+# IB_QUANT=1: int8 PTQ serving path — block projections quantized via
+# ops.quant.quantize_tree, s8xs8->s32 on the MXU (2x bf16 peak);
+# attention stays bf16 flash (ops/quant.py)
+QUANT = os.environ.get("IB_QUANT", "0") == "1"
 V5E_PEAK_BF16 = 197e12
 
 
@@ -45,16 +49,21 @@ def fwd_flops_per_volume() -> float:
 def main():
     from octcubem_tpu.models import vit_st
 
-    model = vit_st.flash_attn_vit_large_patch16(
-        num_frames=FRAMES, t_patch_size=TPATCH, img_size=IMG, in_chans=1,
-        num_classes=16, head_type="dropout", global_pool=True,
-        dtype=jnp.bfloat16, attn_impl="auto")
+    kw = dict(num_frames=FRAMES, t_patch_size=TPATCH, img_size=IMG,
+              in_chans=1, num_classes=16, head_type="dropout",
+              global_pool=True, dtype=jnp.bfloat16, attn_impl="auto")
+    model = vit_st.flash_attn_vit_large_patch16(**kw, quant=QUANT)
+    fp_model = (vit_st.flash_attn_vit_large_patch16(**kw) if QUANT else model)
 
     flops = fwd_flops_per_volume()
     for batch in BATCHES:
         x = jax.random.normal(jax.random.key(0),
                               (batch, FRAMES, IMG, IMG, 1), jnp.float32)
-        params = jax.jit(model.init)(jax.random.key(1), x)
+        params = jax.jit(fp_model.init)(jax.random.key(1), x)
+        if QUANT:
+            from octcubem_tpu.ops.quant import quantize_tree
+            params = jax.jit(
+                lambda p: {"params": quantize_tree(p["params"])})(params)
 
         @jax.jit
         def run(params, x):
@@ -73,7 +82,9 @@ def main():
         step_ms = dt / STEPS * 1000
         vps = batch / (dt / STEPS)
         print(json.dumps({
-            "metric": "ViT-L classifier inference (48x256x256, bf16 flash)",
+            "metric": "ViT-L classifier inference (48x256x256, "
+                      + ("int8 PTQ + bf16 flash)" if QUANT else "bf16 flash)"),
+            "quant": QUANT,
             "batch": batch,
             "step_time_ms": round(step_ms, 2),
             "value": round(vps, 2),

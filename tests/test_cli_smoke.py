@@ -478,6 +478,35 @@ def test_predict_cli_data_parallel_mesh(tmp_path):
         np.testing.assert_allclose(d1[k], d8[k], rtol=1e-4, atol=1e-6)
 
 
+def test_predict_cli_int8_quant(tmp_path):
+    """--quant int8: the PTQ serving path (ops/quant.py) must run through
+    the CLI and track the float path's probabilities."""
+    import numpy as np
+    from PIL import Image
+
+    from octcubem_tpu.cli import predict
+
+    rng = np.random.default_rng(11)
+    data = tmp_path / "vols"
+    for p in range(2):
+        d = data / f"p{p}" / "v0"
+        d.mkdir(parents=True)
+        for t in range(6):
+            arr = (rng.random((40, 40)) * 255).astype(np.uint8)
+            Image.fromarray(arr, "L").save(str(d / f"oct_{t:03d}.png"))
+
+    common = [str(data), "--num_frames", "6", "--input_size", "32",
+              "--nb_classes", "4", "--embed_dim", "32", "--depth", "2",
+              "--num_heads", "2", "--batch_size", "2"]
+    rows_fp = predict.main(common + ["--out_csv", str(tmp_path / "fp.csv")])
+    rows_q = predict.main(common + ["--out_csv", str(tmp_path / "q.csv"),
+                                    "--quant", "int8"])
+    probs_fp = np.array([[float(v) for v in r[1:]] for r in rows_fp])
+    probs_q = np.array([[float(v) for v in r[1:]] for r in rows_q])
+    assert np.isfinite(probs_q).all()
+    np.testing.assert_allclose(probs_q, probs_fp, atol=0.05)
+
+
 def test_retclip_cli_lock_image_actually_freezes(tmp_path, caplog):
     """Regression for the dead `hasattr(model, 'visual')` guard: flax
     assigns .visual in setup(), so the CLI's LiT-lock block silently
