@@ -334,20 +334,36 @@ def main(argv=None):
                 f"all_image_dict-{cfg.epoch_load_spl}.pkl")
             if os.path.exists(spl_path):
                 _reload_spl(spl_path, 0)
-    elif (cfg.resume == "latest" or cfg.resume_type == "resume_latest") \
-            and ckpt_lib.latest_step(ckpt_dir) is not None:
-        state, extra, step = ckpt_lib.restore_checkpoint(ckpt_dir, state)
-        # restored arrays land on one device; re-place on the mesh so they
-        # are compatible with the sharded batches
-        from ..train.mae_engine import replicate_state
+    elif cfg.resume or cfg.resume_type == "resume_latest":
+        # --resume accepts 'latest' (this run's output_dir) or a prior
+        # run / ckpt dir (reference --resume path, util/misc.py:344-363);
+        # a full-TrainState restore requires the same optimizer layout —
+        # use resume_type=training_continue_reset_optim across optimizer
+        # changes (params-only restore above)
+        resume_dir = ckpt_dir
+        if cfg.resume and cfg.resume != "latest":
+            resume_dir = cfg.resume
+            if os.path.basename(os.path.normpath(resume_dir)) != "ckpt":
+                resume_dir = os.path.join(resume_dir, "ckpt")
+            if ckpt_lib.latest_step(resume_dir) is None:
+                raise SystemExit(f"--resume {cfg.resume}: no checkpoints "
+                                 f"found under {resume_dir}")
+        if ckpt_lib.latest_step(resume_dir) is not None:
+            state, extra, step = ckpt_lib.restore_checkpoint(resume_dir,
+                                                             state)
+            # restored arrays land on one device; re-place on the mesh so
+            # they are compatible with the sharded batches
+            from ..train.mae_engine import replicate_state
 
-        state = replicate_state(state, mesh)
-        start_epoch = (extra or {}).get("epoch", 0) + 1
-        log.info(f"resumed from epoch {start_epoch - 1}")
-        spl_path = os.path.join(cfg.output_dir,
-                                f"all_image_dict-{start_epoch - 1}.pkl")
-        if os.path.exists(spl_path):
-            _reload_spl(spl_path, start_epoch)
+            state = replicate_state(state, mesh)
+            start_epoch = (extra or {}).get("epoch", 0) + 1
+            log.info(f"resumed from {resume_dir} epoch {start_epoch - 1}")
+            spl_dir = (cfg.resume if cfg.resume not in ("", "latest")
+                       else cfg.output_dir)
+            spl_path = os.path.join(spl_dir,
+                                    f"all_image_dict-{start_epoch - 1}.pkl")
+            if os.path.exists(spl_path):
+                _reload_spl(spl_path, start_epoch)
 
     step_fn = make_mae_train_step(model, tx, joint=True,
                                   use_premask=cfg.use_premask,

@@ -98,6 +98,15 @@ def main(argv=None):
     parser.add_argument("--output_dir", default=None)
     parser.add_argument("--evaluate_only", action="store_true")
     parser.add_argument("--save_retrieval_results", action="store_true")
+    parser.add_argument("--resume", default=None,
+                        help="'latest' restores the full TrainState from "
+                             "output_dir/ckpt")
+    parser.add_argument("--opt_chain", action="store_true",
+                        help="legacy optax.chain optimizer layout (resume "
+                             "pre-fused-AdamW checkpoints)")
+    parser.add_argument("--resume_params_only", action="store_true",
+                        help="restore params only (fresh optimizer) — "
+                             "works across optimizer-layout changes")
     args = parser.parse_args(argv)
 
     import jax
@@ -119,9 +128,14 @@ def main(argv=None):
 
     overrides = {k: v for k, v in (
         ("epochs", args.epochs), ("batch_size", args.batch_size),
-        ("output_dir", args.output_dir)) if v is not None}
+        ("output_dir", args.output_dir), ("resume", args.resume))
+        if v is not None}
     if args.evaluate_only:
         overrides["evaluate_only"] = True
+    if args.opt_chain:
+        overrides["opt_chain"] = True
+    if args.resume_params_only:
+        overrides["resume_params_only"] = True
     cfg = load_config(RetClipConfig, args.preset, **overrides)
     os.makedirs(cfg.output_dir, exist_ok=True)
     log = get_logger("retclip", os.path.join(cfg.output_dir, "out.log"))
@@ -260,12 +274,12 @@ def main(argv=None):
     if partition is not None:
         tr0, _ = partition[0](params)
         tx = optim.build_adamw(tr0, sched, cfg.weight_decay,
-                               betas=(0.9, 0.98))
+                               betas=(0.9, 0.98), force_chain=cfg.opt_chain)
         state = TrainState.create(params, tx, jax.random.key(cfg.seed + 1),
                                   tx_params=tr0)
     else:
         tx = optim.build_adamw(params, sched, cfg.weight_decay,
-                               betas=(0.9, 0.98))
+                               betas=(0.9, 0.98), force_chain=cfg.opt_chain)
         if trainable_scales is not None:
             import optax
             tx = optax.chain(tx, optim.scale_by_tree(trainable_scales))
@@ -275,10 +289,30 @@ def main(argv=None):
     if cfg.resume == "latest" and ckpt_lib.latest_step(ckpt_dir) is not None:
         from ..train.mae_engine import replicate_state
 
-        state, extra, _ = ckpt_lib.restore_checkpoint(ckpt_dir, state)
+        if cfg.resume_params_only:
+            # layout-proof resume: params only, fresh optimizer/epoch —
+            # works across opt_chain / lock_mode / fused-AdamW changes
+            raw_prev, step_prev = ckpt_lib.restore_raw(ckpt_dir)
+            params_prev = jax.tree.map(
+                lambda t, s: jnp.asarray(s, t.dtype), state.params,
+                raw_prev["params"])
+            state = state.replace(params=params_prev)
+            log.info(f"params restored from {ckpt_dir} (step {step_prev}); "
+                     "optimizer reset (resume_params_only)")
+        else:
+            try:
+                state, extra, _ = ckpt_lib.restore_checkpoint(ckpt_dir, state)
+            except Exception as e:
+                raise SystemExit(
+                    f"resume failed against the current optimizer layout "
+                    f"({e}).  Checkpoints written under a different "
+                    f"optimizer/lock configuration need a matching build: "
+                    f"--opt_chain for pre-fused-AdamW runs, the saved run's "
+                    f"lock_mode, or --resume_params_only to restore params "
+                    f"with a fresh optimizer.") from e
+            start_epoch = (extra or {}).get("epoch", 0) + 1
+            log.info(f"resumed from epoch {start_epoch - 1}")
         state = replicate_state(state, mesh)
-        start_epoch = (extra or {}).get("epoch", 0) + 1
-        log.info(f"resumed from epoch {start_epoch - 1}")
     if accum > 1:
         step_fn = (clip_engine.make_clip_accum_train_step_3mod(
                        model, tx, accum, partition=partition)

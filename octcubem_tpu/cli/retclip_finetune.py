@@ -255,6 +255,11 @@ def _main_manifest(args):
 
     ds = build_ds(args.manifest_csv)
     ind_sets = [build_ds(p) for p in (args.independent_manifest_csv or [])]
+    # fail at startup, not after a fold-epoch of training (eval_rows on an
+    # empty set would np.concatenate([]) — review finding)
+    for p, ind in zip(args.independent_manifest_csv or [], ind_sets):
+        if len(ind) == 0:
+            raise SystemExit(f"--independent_manifest_csv {p}: 0 usable rows")
     folds = ds.available_split[:args.k_folds]
     log.info(f"manifest: {len(ds)} rows, folds {folds}, "
              f"labels {label_keys}, mode {mode}, "

@@ -180,6 +180,14 @@ class RetClipConfig:
     save_retrieval_results: bool = False
     n_data: Optional[int] = None
     n_fsdp: int = 1
+    # resume-compat escapes: a full-TrainState restore needs the SAME
+    # optimizer pytree as the saved run.  opt_chain=true rebuilds the
+    # legacy optax.chain layout (pre-fused-AdamW checkpoints); runs saved
+    # under a different lock_mode (partition vs zero_scale) change the
+    # opt_state shape too — resume_params_only=true restores params only
+    # (fresh optimizer) and works across ANY layout change.
+    opt_chain: bool = False
+    resume_params_only: bool = False
 
 
 @dataclasses.dataclass

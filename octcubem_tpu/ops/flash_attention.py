@@ -681,29 +681,45 @@ def _fwd_rect(q, k, v, scale, block_q, block_k, no_max: bool = True,
     return out[:, :nq], lse[:, :nq, 0]
 
 
-def _bwd_rect(scale, block_q, block_k, no_max, kv_valid, res, g):
-    q, k, v, out, lse = res
-    g, g_lse = g
-    bh, nq, d = q.shape
-    nk = k.shape[1]
-    block_q = _pick_block(nq, BWD_BLOCK_TARGET)
-    block_k = _pick_block(nk, BWD_BLOCK_TARGET)
+def _bwd_rect_prepare(q, g, out, lse, g_lse, block_q):
+    """Query-side (k/v-independent) part of the rectangular backward:
+    the delta term and the query-length padding.  Split out so ring
+    attention's backward scan (parallel/sequence.py) hoists it once
+    instead of recomputing per ring step — delta depends only on
+    (g, out, lse), none of which rotate around the ring."""
+    nq = q.shape[1]
     delta = (jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
                      axis=-1)
              - g_lse.astype(jnp.float32))
-
     nq_pad = _round_up(nq, block_q)
-    nk_pad = _round_up(nk, block_k)
     if nq_pad - nq:
         zq = ((0, 0), (0, nq_pad - nq), (0, 0))
         q, g = jnp.pad(q, zq), jnp.pad(g, zq)
         lse = jnp.pad(lse, ((0, 0), (0, nq_pad - nq)))
         delta = jnp.pad(delta, ((0, 0), (0, nq_pad - nq)))
+    return q, g, lse[..., None], delta[..., None], nq
+
+
+def _bwd_rect(scale, block_q, block_k, no_max, kv_valid, res, g):
+    q, k, v, out, lse = res
+    g, g_lse = g
+    block_q = _pick_block(q.shape[1], BWD_BLOCK_TARGET)
+    block_k = _pick_block(k.shape[1], BWD_BLOCK_TARGET)
+    q, g, lse, delta, nq = _bwd_rect_prepare(q, g, out, lse, g_lse, block_q)
+    return _bwd_rect_core(scale, block_q, block_k, no_max, kv_valid,
+                          q, k, v, g, lse, delta, nq)
+
+
+def _bwd_rect_core(scale, block_q, block_k, no_max, kv_valid,
+                   q, k, v, g, lse, delta, nq):
+    """Rectangular fused backward given ALREADY-PREPARED query-side
+    operands (from _bwd_rect_prepare); pads/handles only the k/v side."""
+    bh, nq_pad, d = q.shape
+    nk = k.shape[1]
+    nk_pad = _round_up(nk, block_k)
     if nk_pad - nk:
         zk = ((0, 0), (0, nk_pad - nk), (0, 0))
         k, v = jnp.pad(k, zk), jnp.pad(v, zk)
-    lse = lse[..., None]
-    delta = delta[..., None]
 
     dq, dk, dv = pl.pallas_call(
         functools.partial(_fused_bwd_kernel, scale=scale,
@@ -885,8 +901,14 @@ def _fwd_kernel_packed(q_ref, k_ref, v_ref, kc_ref, vc_ref, o_ref, lse_ref,
             lse_ref[0, g] = NOMAX_SHIFT + jnp.log(l_safe)
 
 
-def _fwd_packed(q, k, v, kc, vc, scale, block, d, extra_pad):
-    b, n, hd = q.shape
+def _fwd_packed(q, k, v, kc, vc, scale, block, d, extra_pad,
+                fused: bool = False):
+    """Packed-head forward.  fused=True: q IS the raw [B, N, 3*H*D] Wqkv
+    buffer (k/v args ignored) and the kernel reads the q/k/v strips at
+    minor block offsets 0 / hg / 2*hg of the same array — the slices
+    never materialize in HBM (NOTES_ROUND3.md fused-qkv experiment)."""
+    b, n, w = q.shape
+    hd = w // 3 if fused else w
     h = hd // d
     G = max(1, 128 // d) if d < 128 else 1
     hg = h // G
@@ -894,17 +916,26 @@ def _fwd_packed(q, k, v, kc, vc, scale, block, d, extra_pad):
     pad = n_pad - n
     if pad:
         zp = ((0, 0), (0, pad), (0, 0))
-        q, k, v = jnp.pad(q, zp), jnp.pad(k, zp), jnp.pad(v, zp)
+        if fused:
+            q = k = v = jnp.pad(q, zp)
+        else:
+            q, k, v = jnp.pad(q, zp), jnp.pad(k, zp), jnp.pad(v, zp)
+    elif fused:
+        k = v = q
     nt = n_pad // block
     gd = G * d
+    koff = hg if fused else 0
+    voff = 2 * hg if fused else 0
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel_packed, scale=scale,
                           n_valid=n - extra_pad, n_pad=n_pad, d=d, G=G),
         grid=(b, hg, nt, nt),
         in_specs=[
             pl.BlockSpec((1, block, gd), lambda b, h, i, j: (b, i, h)),
-            pl.BlockSpec((1, block, gd), lambda b, h, i, j: (b, j, h)),
-            pl.BlockSpec((1, block, gd), lambda b, h, i, j: (b, j, h)),
+            pl.BlockSpec((1, block, gd),
+                         lambda b, h, i, j, o=koff: (b, j, o + h)),
+            pl.BlockSpec((1, block, gd),
+                         lambda b, h, i, j, o=voff: (b, j, o + h)),
             pl.BlockSpec((1, 1, gd), lambda b, h, i, j: (b, 0, h)),
             pl.BlockSpec((1, 1, gd), lambda b, h, i, j: (b, 0, h)),
         ],
@@ -1015,10 +1046,13 @@ def _bwd_kernel_packed(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dvc_ref[0] = dvc_acc[:].astype(dvc_ref.dtype)
 
 
-def _bwd_packed(scale, block, d, extra_pad, res, g):
-    q, k, v, kc, vc, out, lse = res
-    g, g_lse = g
-    b, n, hd = q.shape
+def _bwd_packed_impl(scale, d, q, k, v, kc, vc, out, lse, g, g_lse,
+                     fused: bool = False):
+    """Packed fused backward shared by the sliced and fused-qkv paths;
+    fused=True reads q/k/v strips out of the same [B, N, 3*H*D] buffer
+    (minor-offset BlockSpecs, mirroring _fwd_packed)."""
+    b, n, w = q.shape
+    hd = w // 3 if fused else w
     h = hd // d
     G = max(1, 128 // d) if d < 128 else 1
     hg = h // G
@@ -1033,10 +1067,18 @@ def _bwd_packed(scale, block, d, extra_pad, res, g):
     pad = n_pad - n
     if pad:
         zp = ((0, 0), (0, pad), (0, 0))
-        q, k, v, g = (jnp.pad(a, zp) for a in (q, k, v, g))
+        if fused:
+            q = k = v = jnp.pad(q, zp)
+        else:
+            q, k, v = (jnp.pad(a, zp) for a in (q, k, v))
+        g = jnp.pad(g, zp)
         lse = jnp.pad(lse, ((0, 0), (0, 0), (0, pad)))
         delta = jnp.pad(delta, ((0, 0), (0, 0), (0, pad)))
+    elif fused:
+        k = v = q
     nt = n_pad // bwd_block
+    koff = hg if fused else 0
+    voff = 2 * hg if fused else 0
 
     dq, dk, dv, dkc, dvc = pl.pallas_call(
         functools.partial(_bwd_kernel_packed, scale=scale,
@@ -1044,8 +1086,10 @@ def _bwd_packed(scale, block, d, extra_pad, res, g):
         grid=(b, hg, nt, nt),
         in_specs=[
             pl.BlockSpec((1, bwd_block, gd), lambda b, h, j, i: (b, i, h)),
-            pl.BlockSpec((1, bwd_block, gd), lambda b, h, j, i: (b, j, h)),
-            pl.BlockSpec((1, bwd_block, gd), lambda b, h, j, i: (b, j, h)),
+            pl.BlockSpec((1, bwd_block, gd),
+                         lambda b, h, j, i, o=koff: (b, j, o + h)),
+            pl.BlockSpec((1, bwd_block, gd),
+                         lambda b, h, j, i, o=voff: (b, j, o + h)),
             pl.BlockSpec((1, bwd_block, gd), lambda b, h, j, i: (b, i, h)),
             pl.BlockSpec((1, G, bwd_block, 1),
                          lambda b, h, j, i: (b, h, i, 0)),
@@ -1082,6 +1126,12 @@ def _bwd_packed(scale, block, d, extra_pad, res, g):
     return dq[:, :n], dk[:, :n], dv[:, :n], dkc, dvc
 
 
+def _bwd_packed(scale, block, d, extra_pad, res, g):
+    q, k, v, kc, vc, out, lse = res
+    g, g_lse = g
+    return _bwd_packed_impl(scale, d, q, k, v, kc, vc, out, lse, g, g_lse)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def _flash_packed(q, k, v, kc, vc, scale, block, d, extra_pad):
     return _fwd_packed(q, k, v, kc, vc, scale, block, d, extra_pad)
@@ -1102,118 +1152,16 @@ _flash_packed.defvjp(_flash_packed_fwd, _bwd_packed)
 # Measured round-3 perf experiment — see NOTES_ROUND3.md.
 
 def _fwd_packed_qkv(qkv, kc, vc, scale, block, d, extra_pad):
-    b, n, hd3 = qkv.shape
-    hd = hd3 // 3
-    h = hd // d
-    G = max(1, 128 // d) if d < 128 else 1
-    hg = h // G
-    n_pad = _round_up(n, block)
-    pad = n_pad - n
-    if pad:
-        qkv = jnp.pad(qkv, ((0, 0), (0, pad), (0, 0)))
-    nt = n_pad // block
-    gd = G * d
-    out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel_packed, scale=scale,
-                          n_valid=n - extra_pad, n_pad=n_pad, d=d, G=G),
-        grid=(b, hg, nt, nt),
-        in_specs=[
-            # q/k/v strips live at minor block offsets 0 / hg / 2*hg of
-            # the SAME fused buffer
-            pl.BlockSpec((1, block, gd), lambda b, h, i, j: (b, i, h)),
-            pl.BlockSpec((1, block, gd),
-                         lambda b, h, i, j, hg=hg: (b, j, hg + h)),
-            pl.BlockSpec((1, block, gd),
-                         lambda b, h, i, j, hg=hg: (b, j, 2 * hg + h)),
-            pl.BlockSpec((1, 1, gd), lambda b, h, i, j: (b, 0, h)),
-            pl.BlockSpec((1, 1, gd), lambda b, h, i, j: (b, 0, h)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, block, gd), lambda b, h, i, j: (b, i, h)),
-            pl.BlockSpec((1, G, block, 1), lambda b, h, i, j: (b, h, i, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, n_pad, hd), qkv.dtype),
-            jax.ShapeDtypeStruct((b, h, n_pad, 1), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((block, gd), jnp.float32),
-            pltpu.VMEM((block, G), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT),
-        interpret=_use_interpret(),
-    )(qkv, qkv, qkv, kc, vc)
-    return out[:, :n], lse[:, :, :n, 0]
+    return _fwd_packed(qkv, qkv, qkv, kc, vc, scale, block, d, extra_pad,
+                       fused=True)
 
 
 def _bwd_packed_qkv(scale, block, d, extra_pad, res, g):
     qkv, kc, vc, out, lse = res
     g, g_lse = g
-    b, n, hd3 = qkv.shape
-    hd = hd3 // 3
-    h = hd // d
-    G = max(1, 128 // d) if d < 128 else 1
-    hg = h // G
-    gd = G * d
-    delta = (jnp.einsum(
-        "bnhd,bnhd->bhn", g.reshape(b, n, h, d).astype(jnp.float32),
-        out.reshape(b, n, h, d).astype(jnp.float32))
-        - g_lse.astype(jnp.float32))
-    bwd_block = _pick_block(n, BWD_BLOCK_TARGET)
-    n_pad = _round_up(n, bwd_block)
-    pad = n_pad - n
-    if pad:
-        qkv = jnp.pad(qkv, ((0, 0), (0, pad), (0, 0)))
-        g = jnp.pad(g, ((0, 0), (0, pad), (0, 0)))
-        lse = jnp.pad(lse, ((0, 0), (0, 0), (0, pad)))
-        delta = jnp.pad(delta, ((0, 0), (0, 0), (0, pad)))
-    nt = n_pad // bwd_block
-
-    dq, dk, dv, dkc, dvc = pl.pallas_call(
-        functools.partial(_bwd_kernel_packed, scale=scale,
-                          block_q=bwd_block, d=d, G=G),
-        grid=(b, hg, nt, nt),
-        in_specs=[
-            pl.BlockSpec((1, bwd_block, gd), lambda b, h, j, i: (b, i, h)),
-            pl.BlockSpec((1, bwd_block, gd),
-                         lambda b, h, j, i, hg=hg: (b, j, hg + h)),
-            pl.BlockSpec((1, bwd_block, gd),
-                         lambda b, h, j, i, hg=hg: (b, j, 2 * hg + h)),
-            pl.BlockSpec((1, bwd_block, gd), lambda b, h, j, i: (b, i, h)),
-            pl.BlockSpec((1, G, bwd_block, 1),
-                         lambda b, h, j, i: (b, h, i, 0)),
-            pl.BlockSpec((1, G, bwd_block, 1),
-                         lambda b, h, j, i: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, gd), lambda b, h, j, i: (b, 0, h)),
-            pl.BlockSpec((1, 1, gd), lambda b, h, j, i: (b, 0, h)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, n_pad, gd), lambda b, h, j, i: (b, 0, h)),
-            pl.BlockSpec((1, bwd_block, gd), lambda b, h, j, i: (b, j, h)),
-            pl.BlockSpec((1, bwd_block, gd), lambda b, h, j, i: (b, j, h)),
-            pl.BlockSpec((1, 1, gd), lambda b, h, j, i: (b, 0, h)),
-            pl.BlockSpec((1, 1, gd), lambda b, h, j, i: (b, 0, h)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, n_pad, hd), qkv.dtype),
-            jax.ShapeDtypeStruct((b, n_pad, hd), qkv.dtype),
-            jax.ShapeDtypeStruct((b, n_pad, hd), qkv.dtype),
-            jax.ShapeDtypeStruct((b, 1, hd), qkv.dtype),
-            jax.ShapeDtypeStruct((b, 1, hd), qkv.dtype),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((n_pad, gd), jnp.float32),
-            pltpu.VMEM((bwd_block, gd), jnp.float32),
-            pltpu.VMEM((bwd_block, gd), jnp.float32),
-            pltpu.VMEM((1, gd), jnp.float32),
-            pltpu.VMEM((1, gd), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT),
-        interpret=_use_interpret(),
-    )(qkv, qkv, qkv, g, lse[..., None], delta[..., None], kc, vc)
-    dqkv = jnp.concatenate([dq[:, :n], dk[:, :n], dv[:, :n]], axis=-1)
+    dq, dk, dv, dkc, dvc = _bwd_packed_impl(
+        scale, d, qkv, qkv, qkv, kc, vc, out, lse, g, g_lse, fused=True)
+    dqkv = jnp.concatenate([dq, dk, dv], axis=-1)
     return dqkv, dkc, dvc
 
 

@@ -102,7 +102,8 @@ def ring_attention(q, k, v, mesh: Mesh, axis: str = "sp",
     of sp serialized kernel calls)."""
     import jax.numpy as jnp
 
-    from ..ops.flash_attention import (FWD_BLOCK_TARGET, _bwd_rect,
+    from ..ops.flash_attention import (BWD_BLOCK_TARGET, FWD_BLOCK_TARGET,
+                                       _bwd_rect_core, _bwd_rect_prepare,
                                        _flash_bh_rect, _pick_block)
 
     b, h, n, d = q.shape
@@ -151,6 +152,14 @@ def ring_attention(q, k, v, mesh: Mesh, axis: str = "sp",
         def ring_bwd(res, dout):
             ql, kl, vl, out, lse = res
             zero_lse_ct = jnp.zeros_like(lse)
+            # hoist the k/v-independent work out of the ring scan: the
+            # delta term and the query-side padding depend only on
+            # (dout, out, lse), none of which rotate — recomputing them
+            # per step would do n_sp redundant reductions + pad copies
+            bwd_bq = _pick_block(n_loc, BWD_BLOCK_TARGET)
+            bwd_bk = _pick_block(n_loc, BWD_BLOCK_TARGET)
+            qp, gp, lsep, deltap, _ = _bwd_rect_prepare(
+                ql, dout, out, lse, zero_lse_ct, bwd_bq)
 
             def step(carry, _):
                 kc, vc, dkc, dvc, dq = carry
@@ -158,9 +167,9 @@ def ring_attention(q, k, v, mesh: Mesh, axis: str = "sp",
                 # recomputed P_ij = exp(s*scale - lse) is the global
                 # softmax restricted to this k block, so dq/dk/dv
                 # contributions are exact partial sums
-                dq_p, dk_p, dv_p = _bwd_rect(
-                    float(scale), block_q, block_k, True, None,
-                    (ql, kc, vc, out, lse), (dout, zero_lse_ct))
+                dq_p, dk_p, dv_p = _bwd_rect_core(
+                    float(scale), bwd_bq, bwd_bk, True, None,
+                    qp, kc, vc, gp, lsep, deltap, n_loc)
                 dq = dq + dq_p.astype(jnp.float32)
                 dkc = dkc + dk_p.astype(jnp.float32)
                 dvc = dvc + dv_p.astype(jnp.float32)

@@ -78,12 +78,15 @@ def lit_lock_scales(params, depth: int, n_unlocked: int,
     """Per-param trainable scales (1.0/0.0) for LiT image-tower locking.
 
     Group ordering per the reference lock() (models_vit_st_flash_attn_
-    nodrop.py:308-351): [embeds+pos+cls, blocks 0..D-2, last block+norm,
-    head group]; the last ``n_unlocked`` groups stay trainable.  Params
-    outside ``tower_prefix`` are always trainable.  Feed the result to
-    scale_by_tree (zero-scale fallback) or threshold >0 into
-    make_partition (real freezing)."""
-    first_unlocked_block = depth + 1 - (n_unlocked - 1)
+    nodrop.py:308-351): ``[embeds+pos+cls, blocks 0..D-2, last block+norm,
+    head group]`` — D+2 groups — and the last ``n_unlocked`` stay
+    trainable, so n_unlocked=0 freezes EVERYTHING (incl. the head),
+    1 unlocks only the head group, 2 adds the last block + final norm,
+    and D+2 unlocks the embeds too.  Params outside ``tower_prefix`` are
+    always trainable.  Feed the result to scale_by_tree (zero-scale
+    fallback) or threshold >0 into make_partition (real freezing)."""
+    n_groups = depth + 2
+    first_unlocked = n_groups - n_unlocked  # group indices >= this train
 
     def scale(path, leaf):
         name = "/".join(getattr(k, "key", str(k)) for k in path)
@@ -91,12 +94,18 @@ def lit_lock_scales(params, depth: int, n_unlocked: int,
         if not name.startswith(tower_prefix):
             return 1.0
         if any(t in name for t in ("fc_aggregate_cls", "aggregate_cls_norm",
-                                   "head", "/norm/")):
-            return 1.0
-        m = re.search(r"blocks/blocks_(\d+)/", name)
-        if m and int(m.group(1)) + 1 >= first_unlocked_block:
-            return 1.0
-        return 0.0
+                                   "head")):
+            group = n_groups - 1
+        elif (m := re.search(r"blocks/blocks_(\d+)/", name)):
+            i = int(m.group(1))
+            # blocks 0..D-2 are groups 1..D-1; the last block shares
+            # group D with the final norm
+            group = i + 1 if i < depth - 1 else depth
+        elif "/norm/" in name:
+            group = depth  # final norm, grouped with the last block
+        else:
+            group = 0  # patch_embed / pos embeds / cls_token
+        return 1.0 if group >= first_unlocked else 0.0
 
     return jax.tree_util.tree_map_with_path(scale, params)
 

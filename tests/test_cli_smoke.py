@@ -230,6 +230,35 @@ def test_retclip_cli_smoke_accum_heldout(tmp_path):
     assert rows[-1]["image_to_enface_R@1"] >= 0.0
 
 
+def test_retclip_cli_resume_across_optimizer_layouts(tmp_path):
+    """Resume compatibility (round-3 review finding): a full-TrainState
+    resume against a DIFFERENT optimizer layout must fail with the
+    actionable message (not an orbax traceback), and --resume_params_only
+    must resume params across any layout change."""
+    import pytest
+
+    from octcubem_tpu.cli import retclip
+
+    out = str(tmp_path / "rc")
+    common = ["--preset", "octcube_ir",
+              "--model_config", "vitl16_octcube_ir_tiny_test",
+              "--synthetic", "--synthetic_n", "16",
+              "--batch_size", "8", "--output_dir", out]
+    retclip.main(common + ["--epochs", "1"])
+
+    # same layout: full resume works
+    retclip.main(common + ["--epochs", "2", "--resume", "latest"])
+
+    # different layout (legacy chain optimizer): helpful SystemExit
+    with pytest.raises(SystemExit, match="resume_params_only"):
+        retclip.main(common + ["--epochs", "3", "--resume", "latest",
+                               "--opt_chain"])
+
+    # params-only escape works across the layout change
+    retclip.main(common + ["--epochs", "1", "--resume", "latest",
+                           "--opt_chain", "--resume_params_only"])
+
+
 def _write_paired_tree(root, rng, n_patients, size=40, frames=6,
                        with_faf=False):
     for p in range(n_patients):

@@ -169,6 +169,30 @@ def test_lit_lock_scales_freeze_real_tower_paths():
     assert all(s == 1.0 for k, s in flat2.items() if "blocks_1" in k)
     assert any(s == 0.0 for k, s in flat2.items() if "blocks_0" in k)
 
+    def as_flat(scales):
+        out = {}
+        jax.tree_util.tree_map_with_path(
+            lambda p, s: out.__setitem__(
+                "/".join(getattr(k, "key", str(k)) for k in p), s), scales)
+        return out
+
+    # reference group arithmetic (models_vit_st_flash_attn_nodrop.py
+    # :308-351): n_unlocked=0 freezes EVERYTHING in the tower (head too);
+    # n_unlocked=1 unlocks ONLY the head group (final norm stays frozen);
+    # n_unlocked=depth+2 unlocks the embeds group as well
+    flat0 = as_flat(optim.lit_lock_scales(params, depth=V_CFG["depth"],
+                                          n_unlocked=0))
+    assert all(s == 0.0 for k, s in flat0.items()
+               if k.startswith("params/visual/"))
+    flat1 = as_flat(optim.lit_lock_scales(params, depth=V_CFG["depth"],
+                                          n_unlocked=1))
+    assert all(s == 0.0 for k, s in flat1.items()
+               if k.startswith("params/visual/") and "/norm/" in k
+               and "aggregate" not in k)
+    flat_all = as_flat(optim.lit_lock_scales(
+        params, depth=V_CFG["depth"], n_unlocked=V_CFG["depth"] + 2))
+    assert all(s == 1.0 for s in flat_all.values())
+
 
 @pytest.mark.slow
 def test_lit_lock_partition_real_freeze():
