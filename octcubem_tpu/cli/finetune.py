@@ -111,7 +111,10 @@ def run_fold(cfg, model, datasets, log, fold_tag=""):
                                            strict=False)
         log.info(f"loaded {cfg.finetune_ckpt}; new params: {report['missing']}")
 
-    lr = schedules.scale_base_lr(cfg.blr, batch)
+    # reference eff_batch_size = batch * world_size (util/lr_sched.py via
+    # main_finetune…singlefold.py); batch here is PER HOST, so multi-host
+    # runs must scale by process_count like cli/pretrain.py does
+    lr = schedules.scale_base_lr(cfg.blr, batch * jax.process_count())
     steps = max(1, len(ld_tr))
     sched = schedules.warmup_half_cosine(lr, cfg.min_lr, cfg.warmup_epochs,
                                          cfg.epochs, steps)

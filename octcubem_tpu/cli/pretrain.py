@@ -505,7 +505,7 @@ def _main_2d(args):
     import jax
     import jax.numpy as jnp
 
-    from ..core import mesh as meshlib, checkpoint as ckpt_lib
+    from ..core import mesh as meshlib, checkpoint as ckpt_lib, multihost
     from ..models import mae2d
     from ..data import loader as loader_lib, spl as spl_lib
     from ..train import optim, schedules
@@ -583,7 +583,12 @@ def _main_2d(args):
                                                logger=log):
                 b = shard_batch(jnp.asarray(imgs), mesh)
                 state, loss, per_image = step(state, b)
-                spl_state.update_hardness(list(names), np.asarray(per_image))
+                # per_image is sharded over the global data axis on
+                # multi-host runs: read only THIS host's rows, which line
+                # up with its local `names` (same contract as the joint
+                # path's frame_losses read above)
+                spl_state.update_hardness(list(names),
+                                          multihost.local_rows(per_image))
                 meter.update(loss=float(loss))
             k = schedules.spl_k_schedule(epoch, total_epochs=args.epochs or 2,
                                          warmup_epochs=1)

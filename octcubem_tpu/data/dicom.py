@@ -65,6 +65,15 @@ def _parse_int_like(vr: bytes, data: bytes):
         return struct.unpack("<I", data[:4])[0]
     if vr in (b"SS",):
         return struct.unpack("<h", data[:2])[0]
+    if vr == b"UN":
+        # implicit-VR little-endian: the numeric geometry tags (US/UL in
+        # the standard) arrive as raw 2-/4-byte binary values with no VR
+        # marker — decode by length (this helper is only applied to the
+        # known integer tags, see read_dicom)
+        if len(data) == 2:
+            return struct.unpack("<H", data)[0]
+        if len(data) == 4:
+            return struct.unpack("<I", data)[0]
     return data
 
 
@@ -121,8 +130,12 @@ def read_dicom(path: str) -> DicomFile:
 
 
 def write_dicom(path: str, volume: np.ndarray, manufacturer: str = "Heidelberg",
-                model: str = "Spectralis") -> None:
-    """Write a minimal explicit-VR-LE multiframe DICOM (for tests/demos)."""
+                model: str = "Spectralis", implicit: bool = False) -> None:
+    """Write a minimal little-endian multiframe DICOM (for tests/demos).
+
+    implicit=True writes implicit-VR-LE (1.2.840.10008.1.2, the DICOM
+    default syntax) dataset elements; the file-meta group is always
+    explicit per the standard."""
     volume = np.asarray(volume)
     if volume.ndim == 2:
         volume = volume[None]
@@ -130,22 +143,25 @@ def write_dicom(path: str, volume: np.ndarray, manufacturer: str = "Heidelberg",
     assert volume.dtype in (np.uint8, np.uint16)
     bits = 8 if volume.dtype == np.uint8 else 16
 
-    def element(group, elem, vr, value: bytes):
+    def element(group, elem, vr, value: bytes, implicit_el: bool = False):
         if len(value) % 2:
             value += b"\x00" if vr in (b"UI", b"OB", b"OW") else b" "
+        if implicit_el:
+            return struct.pack("<HHI", group, elem, len(value)) + value
         if vr in _EXPLICIT_LONG_VRS:
             return struct.pack("<HH2sHI", group, elem, vr, 0, len(value)) + value
         return struct.pack("<HH2sH", group, elem, vr, len(value)) + value
 
-    meta = element(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.1")
+    ts = b"1.2.840.10008.1.2" if implicit else b"1.2.840.10008.1.2.1"
+    meta = element(0x0002, 0x0010, b"UI", ts)
     body = b"".join([
-        element(0x0008, 0x0070, b"LO", manufacturer.encode()),
-        element(0x0008, 0x1090, b"LO", model.encode()),
-        element(0x0028, 0x0008, b"IS", str(frames).encode()),
-        element(0x0028, 0x0010, b"US", struct.pack("<H", rows)),
-        element(0x0028, 0x0011, b"US", struct.pack("<H", cols)),
-        element(0x0028, 0x0100, b"US", struct.pack("<H", bits)),
-        element(0x7FE0, 0x0010, b"OW", volume.tobytes()),
+        element(0x0008, 0x0070, b"LO", manufacturer.encode(), implicit),
+        element(0x0008, 0x1090, b"LO", model.encode(), implicit),
+        element(0x0028, 0x0008, b"IS", str(frames).encode(), implicit),
+        element(0x0028, 0x0010, b"US", struct.pack("<H", rows), implicit),
+        element(0x0028, 0x0011, b"US", struct.pack("<H", cols), implicit),
+        element(0x0028, 0x0100, b"US", struct.pack("<H", bits), implicit),
+        element(0x7FE0, 0x0010, b"OW", volume.tobytes(), implicit),
     ])
     with open(path, "wb") as f:
         f.write(b"\x00" * 128 + b"DICM" + meta + body)

@@ -138,6 +138,10 @@ class PairedOCTEnfaceDataset:
     labels_fn: Callable | None = None
     mode: int | str = "oct3d_ir"
     aspect_aware: bool = False   # convert_hw_shape before the resize
+    # bumped by Loader.set_epoch (and AggregatedPairedDataset.epoch) so
+    # per-item augmentation rngs redraw every epoch — a (seed, idx)-only
+    # rng would repeat the identical crop/flip forever (loader.py:65-69)
+    epoch: int = 0
 
     def __post_init__(self):
         self.mode = MODE_MAPPING.get(self.mode, self.mode)
@@ -184,10 +188,12 @@ class PairedOCTEnfaceDataset:
         else:
             vol = ingest.load_frame_stack(v.frames)
         if self.aspect_aware:
-            vol = convert_hw_shape(vol, rng=np.random.default_rng((17, i)))
+            vol = convert_hw_shape(
+                vol, rng=np.random.default_rng((17, self.epoch, i)))
         vol = ingest.pad_or_crop_frames(vol, self.num_frames)
         if self.oct_transform is not None:
-            vol = self.oct_transform(vol, rng=np.random.default_rng(i))
+            vol = self.oct_transform(
+                vol, rng=np.random.default_rng((self.epoch, i)))
         else:
             from .np_resize import resize_trilinear_np
             vol = resize_trilinear_np(
@@ -332,6 +338,16 @@ class OCTFAFIRClsDataset:
         sample = self._inner[j]
         sample["label"] = self.labels[j]
         return sample
+
+    # epoch propagation hook for Loader.set_epoch (forwards to the inner
+    # paired dataset, whose augmentation rngs are epoch-seeded)
+    @property
+    def epoch(self):
+        return self._inner.epoch
+
+    @epoch.setter
+    def epoch(self, e):
+        self._inner.epoch = e
 
 
 class AggregatedPairedDataset:

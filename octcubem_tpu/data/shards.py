@@ -43,7 +43,12 @@ def iterate_shard(path: str, decode: Callable = _default_decode
         for member in tar:
             if not member.isfile():
                 continue
-            base, _, ext = member.name.partition(".")
+            # webdataset key convention: split the extension at the first
+            # dot of the BASENAME — a dot in a directory component must
+            # not truncate the key (e.g. 'v1.2/sample0.png')
+            dirpart, _, fname = member.name.rpartition("/")
+            stem, _, ext = fname.partition(".")
+            base = f"{dirpart}/{stem}" if dirpart else stem
             if base != current_key:
                 if sample:
                     yield sample

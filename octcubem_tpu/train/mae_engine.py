@@ -131,7 +131,8 @@ def make_mae_train_step(model, tx, joint: bool = False,
                    "loss_2d": l2 / accum_iter,
                    # [accum, micro, t] -> [accum*micro, t] (loader order)
                    "frame_losses": fls.reshape(-1, fls.shape[-1]),
-                   "grad_norm": optax_global_norm(grads)}
+                   "grad_norm": (optax_global_norm(grads)
+                                 if compute_grad_norm else jnp.zeros(()))}
         return state, metrics
 
     @functools.partial(jax.jit, static_argnames=("mask_ratio", "mask_ratio_2d"),

@@ -29,14 +29,12 @@ def reconstruction_panels(imgs: np.ndarray, pred_tokens: np.ndarray,
     c = imgs.shape[-1]
     recon = np.asarray(unpatchify_3d(jnp.asarray(pred_tokens), t_patch,
                                      patch, grid, c))
-    # expand token mask to pixels
-    mask_tok = mask.reshape(b, *grid, 1, 1, 1)
-    mask_px = np.kron(mask_tok.reshape(b, *grid),
-                      np.ones((t_patch, patch, patch)))
-    mask_px = mask_px.reshape(b, grid[0], grid[1], grid[2],
-                              t_patch, patch, patch)
-    mask_px = mask_px.transpose(0, 1, 4, 2, 5, 3, 6).reshape(
-        b, grid[0] * t_patch, grid[1] * patch, grid[2] * patch)[..., None]
+    # expand token mask to pixels: kron of [B, g0, g1, g2] with a
+    # [t_patch, patch, patch] block of ones yields the interleaved
+    # [B, g0*t_patch, g1*patch, g2*patch] = [B, T, H, W] pixel mask
+    # directly (each token's value tiled over its tube)
+    mask_px = np.kron(mask.reshape(b, *grid).astype(np.float64),
+                      np.ones((t_patch, patch, patch)))[..., None]
     imgs = np.asarray(imgs)
     masked_input = imgs * (1 - mask_px)
     pasted = imgs * (1 - mask_px) + recon * mask_px

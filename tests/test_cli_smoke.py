@@ -21,6 +21,19 @@ def test_pretrain_cli_smoke(tmp_path):
     assert os.path.isdir(os.path.join(out, "ckpt", "0"))
 
 
+def test_pretrain_cli_2d_mode_smoke(tmp_path):
+    """--mode 2d: plain 2D MAE pretraining with per-image SPL hardness
+    (OCTCube/main_pretrain_oph_new.py + engine_pretrain.py:96-168)."""
+    from octcubem_tpu.cli import pretrain
+
+    out = str(tmp_path / "pt2d")
+    pretrain.main(["--mode", "2d", "--synthetic", "--tiny", "--epochs", "1",
+                   "--batch_size", "8", "--output_dir", out])
+    assert os.path.exists(os.path.join(out, "log.txt"))
+    assert os.path.exists(os.path.join(out, "all_image_dict-0.pkl"))
+    assert os.path.isdir(os.path.join(out, "ckpt"))
+
+
 def test_export_cli_roundtrips_pretrain_ckpt(tmp_path):
     """cli.export hands a trained orbax checkpoint back to the reference
     ecosystem: the .pth reloads through compat.torch_import into a

@@ -335,3 +335,22 @@ def test_augmentation_varies_across_epochs(tmp_path):
     ld2.set_epoch(3)
     first3 = next(iter(ld2))[0]
     assert not np.allclose(first0, first3)
+
+
+def test_dicom_implicit_vr_roundtrip(tmp_path):
+    """Implicit-VR-LE (1.2.840.10008.1.2, the DICOM default syntax):
+    numeric geometry tags arrive as raw 2-/4-byte binary values and must
+    decode by length (regression: int(b'\\x14\\x00') crashed)."""
+    vol = (np.random.default_rng(2).random((4, 20, 24)) * 255).astype(np.uint8)
+    p = str(tmp_path / "imp.dcm")
+    write_dicom(p, vol, manufacturer="Heidelberg", implicit=True)
+    d = read_dicom(p)
+    assert d.manufacturer == "Heidelberg"
+    np.testing.assert_array_equal(d.pixel_array, vol)
+
+
+def test_dicom_implicit_vr_16bit(tmp_path):
+    vol = (np.random.default_rng(3).random((2, 8, 8)) * 60000).astype(np.uint16)
+    p = str(tmp_path / "imp16.dcm")
+    write_dicom(p, vol, implicit=True)
+    np.testing.assert_array_equal(read_dicom(p).pixel_array, vol)

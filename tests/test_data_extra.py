@@ -288,3 +288,58 @@ def test_build_ga_manifest_roundtrip(tmp_path):
     assert np.isfinite(s["label"]).all()
     # patient-level 2-fold split covers both folds
     assert sorted(ds.available_split) == [0, 1]
+
+
+def test_paired_dataset_epoch_redraws_augmentation(tmp_path):
+    """Loader.set_epoch must reach PairedOCTEnfaceDataset and change the
+    per-item augmentation rng (regression: the dataclass had no `epoch`
+    attribute, so the propagation guard silently no-opped and the same
+    crop/flip was drawn every epoch)."""
+    from PIL import Image
+
+    from octcubem_tpu.data.loader import Loader
+    from octcubem_tpu.data.multimodal import (PairedOCTEnfaceDataset,
+                                              scan_paired_directory)
+
+    rng = np.random.default_rng(0)
+    d = tmp_path / "p0" / "v0"
+    os.makedirs(d)
+    for f in range(4):
+        Image.fromarray((rng.random((32, 32)) * 255).astype(np.uint8)).save(
+            d / f"oct_{f:03d}.png")
+    Image.fromarray((rng.random((24, 24, 3)) * 255).astype(np.uint8)).save(
+        d / "ir.png")
+    recs = scan_paired_directory(str(tmp_path))
+
+    draws = []
+
+    def xform(vol, rng=None):
+        draws.append(float(rng.random()))
+        return np.zeros((4, 16, 16), np.float32)
+
+    ds = PairedOCTEnfaceDataset(recs, num_frames=4, oct_size=16,
+                                enface_size=16, oct_transform=xform)
+    assert hasattr(ds, "epoch")
+    ld = Loader(ds, batch_size=1, shuffle=False, num_workers=1)
+    ld.set_epoch(0)
+    _ = ds[0]
+    ld.set_epoch(1)
+    _ = ds[0]
+    assert draws[0] != draws[1], "augmentation rng must redraw per epoch"
+
+    # the cls wrapper forwards epoch to its inner paired dataset
+    from octcubem_tpu.data.multimodal import OCTFAFIRClsDataset
+    import csv
+
+    man = tmp_path / "man.csv"
+    with open(man, "w", newline="") as f:
+        w = csv.DictWriter(f, ["patient_id", "visit_id", "oct_file_path",
+                               "faf_file_path", "ga_growth", "split1"])
+        w.writeheader()
+        w.writerow({"patient_id": "p0", "visit_id": "v0",
+                    "oct_file_path": "p0/v0", "faf_file_path": "p0/v0/ir.png",
+                    "ga_growth": "1.0", "split1": "0"})
+    cds = OCTFAFIRClsDataset(str(man), parent_dir=str(tmp_path), mode=9,
+                             label_keys=["ga_growth"])
+    cds.epoch = 5
+    assert cds._inner.epoch == 5

@@ -55,3 +55,16 @@ def test_shard_dataset_deterministic_and_split(tmp_path):
                       num_workers=2)
     all_keys = {s["__key__"] for s in w0} | {s["__key__"] for s in w1}
     assert len(all_keys) == 12
+
+
+def test_iterate_shard_dotted_directory(tmp_path):
+    """The sample key must split the extension at the BASENAME's first
+    dot, not the path's (regression: members under a dotted directory
+    like 'v1.2/' collapsed every sample in the shard into one)."""
+    p = str(tmp_path / "dotted.tar")
+    _make_shard(p, [f"v1.2/sample{i}" for i in range(3)])
+    samples = list(iterate_shard(p))
+    assert len(samples) == 3
+    assert samples[0]["__key__"] == "v1.2/sample0"
+    assert samples[0]["npy"].shape == (4, 4)
+    assert samples[0]["cls"] in ("0", "1")

@@ -133,3 +133,20 @@ def test_pretrained_registry():
     with tempfile.TemporaryDirectory() as d:
         open(os.path.join(d, "OCTCube.pth"), "w").close()
         assert pretrained.locate("octcube", ckpt_dir=d) is not None
+
+
+def test_recon_mask_pixel_layout():
+    """One masked token must blank exactly its own (t, h, w) pixel tube
+    (regression: a reshape/transpose applied after np.kron scrambled the
+    already-correct interleaved pixel layout, masking wrong pixels in
+    every --eval_only reconstruction dump)."""
+    b, grid, tp, p = 1, (2, 2, 2), 3, 2
+    imgs = np.ones((b, 6, 4, 4, 1), np.float32)
+    pred = np.zeros((b, 8, tp * p * p), np.float32)
+    mask = np.zeros((b, 8), np.float32)
+    mask[0, 2] = 1.0  # flat token 2 = (t=0, h=1, w=0) in a 2x2x2 grid
+    _, masked, _, _ = visualization.reconstruction_panels(
+        imgs, pred, mask, tp, p, grid)
+    expect = np.ones((6, 4, 4), np.float32)
+    expect[0:3, 2:4, 0:2] = 0.0  # that token's pixel tube, nothing else
+    np.testing.assert_array_equal(masked[0, ..., 0], expect)
