@@ -35,6 +35,17 @@ def main(argv=None):
                              "MXU, ops/quant.py); attention stays bf16 flash")
     parser.add_argument("--dump_embeddings", default=None,
                         help="optional .npz path for pre-head embeddings")
+    parser.add_argument("--export_aot", default=None,
+                        help="write a self-contained jax.export serving "
+                             "artifact (weights baked in, compat/aot.py) "
+                             "instead of predicting, then exit")
+    parser.add_argument("--aot_platforms", default=None,
+                        help="comma list for --export_aot (e.g. 'tpu,cpu'); "
+                             "default: current backend")
+    parser.add_argument("--aot", default=None,
+                        help="serve from an exported artifact instead of "
+                             "building the model (shape args come from the "
+                             "artifact header)")
     parser.add_argument("--n_data", type=int, default=1,
                         help="data-parallel serving over N devices "
                              "(0 = all local devices; batch_size must "
@@ -54,48 +65,87 @@ def main(argv=None):
     from ..utils.logging import get_logger, Throughput
 
     log = get_logger("predict")
-    visits = patients.scan_directory(args.data_dir, "*.png")
-    if not visits:
-        visits = patients.scan_directory(args.data_dir, "oct_*.png")
-    if not visits:
-        raise ValueError(f"no volumes found under {args.data_dir}")
-    _, val_t = transforms.create_3d_transforms(
-        args.input_size, args.num_frames, RandFlipd_prob=0)
-    label_fn = lambda v: np.int64(0)
-    ds = patients.PatientDataset3D(
-        visits, label_fn, dataset_mode=(
-            "dicom" if visits[0].frames[0].endswith(".dcm")
-            else "volume" if visits[0].frames[0].endswith(".npy")
-            else "frame"),
-        max_frames=args.num_frames, transform=val_t, return_patient_id=True)
-    ld = loader_lib.Loader(ds, args.batch_size, shuffle=False,
-                           drop_last=False, num_workers=4)
+    aot_fn = None
+    if args.aot:
+        # shapes/classes are baked into the artifact; its header overrides
+        # the CLI shape flags so preprocessing matches the lowered graph
+        from ..compat.aot import load_serving_artifact
 
-    dtype = jnp.float32 if args.precision == "fp32" else jnp.bfloat16
-    if args.precision == "fp32":
-        jax.config.update("jax_default_matmul_precision", "highest")
-    model_kw = dict(
-        num_frames=args.num_frames, t_patch_size=3, img_size=args.input_size,
-        in_chans=1, num_classes=args.nb_classes,
-        embed_dim=args.embed_dim or 1024, depth=args.depth or 24,
-        num_heads=args.num_heads or 16, head_type="dropout",
-        global_pool=True, dtype=dtype)
-    model = VisionTransformerST(**model_kw, quant=args.quant == "int8")
-    # checkpoints are fp32; import into the float layout, then PTQ-convert
-    fp_model = (VisionTransformerST(**model_kw) if args.quant == "int8"
-                else model)
-    x0 = jnp.zeros((args.batch_size, args.num_frames, args.input_size,
-                    args.input_size, 1))
-    params = jax.jit(fp_model.init)(jax.random.key(0), x0)
-    if args.ckpt:
-        sd = load_torch_checkpoint(args.ckpt)
-        params, rep = import_state_dict(params, sd, strict=False)
-        log.info(f"loaded {args.ckpt}")
-    if args.quant == "int8":
-        from ..ops.quant import quantize_tree
-        params = jax.jit(
-            lambda p: {"params": quantize_tree(p["params"])})(params)
-        log.info("int8 PTQ applied to block projections")
+        aot_fn, aot_meta = load_serving_artifact(args.aot)
+        b, t, s = aot_meta["in_shapes"][0][:3]
+        args.batch_size, args.num_frames, args.input_size = b, t, s
+        args.nb_classes = aot_meta.get("nb_classes", args.nb_classes)
+        if args.n_data not in (0, 1):
+            raise SystemExit("--aot serves single-device; drop --n_data")
+        args.n_data = 1
+        log.info(f"serving from AOT artifact {args.aot} "
+                 f"(batch {b}, {t}x{s}x{s}, {aot_meta.get('quant')})")
+
+    ld = None
+    if not args.export_aot:
+        visits = patients.scan_directory(args.data_dir, "*.png")
+        if not visits:
+            visits = patients.scan_directory(args.data_dir, "oct_*.png")
+        if not visits:
+            raise ValueError(f"no volumes found under {args.data_dir}")
+        _, val_t = transforms.create_3d_transforms(
+            args.input_size, args.num_frames, RandFlipd_prob=0)
+        label_fn = lambda v: np.int64(0)
+        ds = patients.PatientDataset3D(
+            visits, label_fn, dataset_mode=(
+                "dicom" if visits[0].frames[0].endswith(".dcm")
+                else "volume" if visits[0].frames[0].endswith(".npy")
+                else "frame"),
+            max_frames=args.num_frames, transform=val_t,
+            return_patient_id=True)
+        ld = loader_lib.Loader(ds, args.batch_size, shuffle=False,
+                               drop_last=False, num_workers=4)
+
+    model = None
+    if not args.aot:
+        dtype = jnp.float32 if args.precision == "fp32" else jnp.bfloat16
+        if args.precision == "fp32":
+            jax.config.update("jax_default_matmul_precision", "highest")
+        model_kw = dict(
+            num_frames=args.num_frames, t_patch_size=3,
+            img_size=args.input_size, in_chans=1,
+            num_classes=args.nb_classes,
+            embed_dim=args.embed_dim or 1024, depth=args.depth or 24,
+            num_heads=args.num_heads or 16, head_type="dropout",
+            global_pool=True, dtype=dtype)
+        model = VisionTransformerST(**model_kw, quant=args.quant == "int8")
+        # checkpoints are fp32; import into the float layout, then
+        # PTQ-convert
+        fp_model = (VisionTransformerST(**model_kw) if args.quant == "int8"
+                    else model)
+        x0 = jnp.zeros((args.batch_size, args.num_frames, args.input_size,
+                        args.input_size, 1))
+        params = jax.jit(fp_model.init)(jax.random.key(0), x0)
+        if args.ckpt:
+            sd = load_torch_checkpoint(args.ckpt)
+            params, rep = import_state_dict(params, sd, strict=False)
+            log.info(f"loaded {args.ckpt}")
+        if args.quant == "int8":
+            from ..ops.quant import quantize_tree
+            params = jax.jit(
+                lambda p: {"params": quantize_tree(p["params"])})(params)
+            log.info("int8 PTQ applied to block projections")
+
+    if args.export_aot:
+        # freeze (params, forward) into one deployable file and exit
+        from ..compat.aot import export_serving_artifact
+
+        platforms = (tuple(p.strip() for p in args.aot_platforms.split(","))
+                     if args.aot_platforms else None)
+        path = export_serving_artifact(
+            lambda x: model.apply(params, x, return_embeddings=True),
+            (jnp.zeros((args.batch_size, args.num_frames, args.input_size,
+                        args.input_size, 1), jnp.float32),),
+            args.export_aot, platforms=platforms,
+            meta={"model": "vit_st", "nb_classes": args.nb_classes,
+                  "quant": args.quant, "precision": args.precision})
+        log.info(f"wrote AOT serving artifact {path}")
+        return path
 
     # multi-chip serving (--n_data N, or 0 = all devices): shard each
     # batch over the mesh 'data' axis with params replicated.  Mirrors
@@ -115,8 +165,12 @@ def main(argv=None):
         params = replicate_state(params, mesh)
         log.info(f"serving data-parallel over {n_dev} devices")
 
-    predict = jax.jit(
-        lambda p, x: model.apply(p, x, return_embeddings=True))
+    if aot_fn is not None:
+        predict = lambda p, x: aot_fn(x)
+        params = None
+    else:
+        predict = jax.jit(
+            lambda p, x: model.apply(p, x, return_embeddings=True))
     tput = Throughput()
     rows = []
     embeddings = []

@@ -578,3 +578,50 @@ def test_retclip_cli_lock_image_actually_freezes(tmp_path, caplog):
     assert lock_lines, "lock block never executed through the CLI"
     n_frozen = int(lock_lines[0].split(":")[1].split()[0])
     assert n_frozen > 0, lock_lines[0]
+
+
+def test_predict_cli_aot_export_and_serve(tmp_path):
+    """--export_aot freezes the model into a jax.export artifact; --aot
+    serves from it with shapes taken from the artifact header.  The two
+    serving paths must produce identical probabilities."""
+    import csv as _csv
+
+    import numpy as np
+    from PIL import Image
+
+    from octcubem_tpu.cli import predict
+
+    rng = np.random.default_rng(11)
+    data = tmp_path / "vols"
+    for p in range(3):
+        d = data / f"p{p}" / "v0"
+        d.mkdir(parents=True)
+        for t in range(6):
+            arr = (rng.random((40, 40)) * 255).astype(np.uint8)
+            Image.fromarray(arr, "L").save(str(d / f"oct_{t:03d}.png"))
+
+    common = [str(data), "--num_frames", "6", "--input_size", "32",
+              "--nb_classes", "4", "--embed_dim", "32", "--depth", "2",
+              "--num_heads", "2", "--batch_size", "2"]
+    artifact = str(tmp_path / "model.octaot")
+    out = predict.main(common + ["--export_aot", artifact])
+    assert out == artifact and os.path.exists(artifact)
+
+    rows_live = predict.main(common + ["--out_csv",
+                                       str(tmp_path / "live.csv")])
+    # --aot ignores the CLI shape flags (header wins); pass only the few
+    # the serving path still needs
+    rows_aot = predict.main([str(data), "--aot", artifact,
+                             "--out_csv", str(tmp_path / "aot.csv")])
+    assert len(rows_live) == len(rows_aot) == 3
+
+    def read(p):
+        with open(p) as f:
+            return list(_csv.reader(f))
+
+    live, aot = read(tmp_path / "live.csv"), read(tmp_path / "aot.csv")
+    assert live[0] == aot[0]
+    for rl, ra in zip(live[1:], aot[1:]):
+        assert rl[0] == ra[0]
+        np.testing.assert_allclose([float(v) for v in rl[1:]],
+                                   [float(v) for v in ra[1:]], atol=2e-4)
