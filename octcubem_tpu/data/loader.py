@@ -101,11 +101,13 @@ class Loader:
         for i, b in enumerate(batches):
             job_q.put((i, b))
 
-        results: dict[int, object] = {}
-        lock = threading.Lock()
+        results: dict[int, object] = {}  # consumed by this thread only
         stop = threading.Event()
 
         def worker():
+            # every exit path posts to out_q (or leaves job_q drained):
+            # an exception escaping the loop would strand the consumer in
+            # out_q.get() forever
             while not stop.is_set():
                 try:
                     i, b = job_q.get_nowait()
@@ -113,8 +115,10 @@ class Loader:
                     return
                 try:
                     batch = _collate([self.dataset[int(j)] for j in b])
-                except Exception as e:  # propagate instead of hanging
-                    out_q.put((i, e))
+                except BaseException as e:  # propagate instead of hanging
+                    out_q.put((i, RuntimeError(
+                        f"loader worker failed on batch {i}: "
+                        f"{type(e).__name__}: {e}")))
                     return
                 out_q.put((i, batch))
 
@@ -133,9 +137,7 @@ class Loader:
                             f"loader worker failed on batch {i}") from batch
                     results[i] = batch
                     received += 1
-                with lock:
-                    batch = results.pop(next_i)
-                yield batch
+                yield results.pop(next_i)
                 next_i += 1
         finally:
             stop.set()
