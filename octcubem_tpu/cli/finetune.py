@@ -177,7 +177,8 @@ def run_fold(cfg, model, datasets, log, fold_tag=""):
                       "nan_steps": n_nan, "best": improved}
             if improved:
                 ckpt_lib.save_checkpoint(ckpt_dir, epoch, state,
-                                         {"epoch": epoch}, keep_last=1)
+                                         {"epoch": epoch}, keep_last=1,
+                                         async_save=True)
                 test_metrics, yt, yp = evaluate(predict, state.params,
                                                 eval_batches(ld_te),
                                                 cfg.task_mode)

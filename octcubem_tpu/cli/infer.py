@@ -32,6 +32,7 @@ def build_model_and_params(args):
         head_type="dropout", global_pool=args.global_pool,
         sep_pos_embed=args.sep_pos_embed, cls_embed=args.cls_embed,
         drop_path_rate=args.drop_path, dtype=dtype, attn_impl=args.attn_impl,
+        capture_cam=bool(getattr(args, "saliency_dir", None)),
     )
     x0 = jnp.zeros((1, args.num_frames, args.input_size, args.input_size, 1))
     params = jax.jit(model.init)(jax.random.key(0), x0)
@@ -93,6 +94,10 @@ def main(argv=None):
     parser.add_argument("--cls_embed", action="store_true", default=True)
     parser.add_argument("--precision", default="fp32")
     parser.add_argument("--attn_impl", default="auto")
+    parser.add_argument("--saliency_dir", default=None,
+                        help="write a Grad-CAM overlay PNG for the "
+                             "top-probability disease into this directory "
+                             "(reference oph_vis_util CAM rendering)")
     args = parser.parse_args(argv)
 
     import jax
@@ -111,6 +116,24 @@ def main(argv=None):
     e = np.exp(logits - logits.max(axis=1, keepdims=True))
     probs = e / e.sum(axis=1, keepdims=True)
     print(parse_all_output(probs))
+
+    if args.saliency_dir:
+        # Grad-CAM for the top-probability disease's 'disease' logit
+        # (the (i, 1) column of the reshaped head), rendered as heatmap
+        # overlays on the input frames
+        from ..utils.saliency import gradcam
+        from ..utils.visualization import save_cam_overlays
+
+        top = int(np.argmax(probs[:, 1]))
+        t_grid = args.num_frames // args.t_patch_size
+        s_grid = args.input_size // model.patch_size
+        cam = gradcam(model, params, vol, class_idx=2 * top + 1,
+                      grid=(t_grid, s_grid, s_grid))
+        name = DISEASES[1:][top] if top + 1 < len(DISEASES) else str(top)
+        path = save_cam_overlays(np.asarray(vol)[0, ..., 0], cam[0],
+                                 args.saliency_dir,
+                                 tag=f"cam_{name.replace(chr(92), '-')}")
+        print(f"saliency overlay: {path}")
     return probs
 
 

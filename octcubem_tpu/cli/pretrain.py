@@ -93,6 +93,10 @@ def main(argv=None):
     parser.add_argument("--mode", default="joint3d", choices=["joint3d", "2d"],
                         help="'2d' = plain 2D MAE pretraining with per-image "
                              "SPL hardness (OCTCube/main_pretrain_oph_new.py)")
+    parser.add_argument("--profile_steps", type=int, default=0,
+                        help="capture a jax.profiler trace of this many "
+                             "steady-state steps (starting at step 2 of the "
+                             "first epoch) into output_dir/profile")
     args = parser.parse_args(argv)
 
     from ..core import multihost
@@ -442,10 +446,27 @@ def main(argv=None):
                 tb.scalar("train_loss", loss, epoch + it / steps_per_epoch)
 
             pending = None  # one-step-deep pipeline: (metrics, fpaths)
+            prof_active = False
             for it, (vols, fpaths, _) in enumerate(
                     meter.log_every(ld3, 10, f"Epoch [{epoch}]", logger=log)):
                 if args.steps_per_epoch and it >= args.steps_per_epoch:
                     break
+                if args.profile_steps and epoch == start_epoch:
+                    # trace a steady-state window (skip the compile step);
+                    # consume pending first so the traced window closes on
+                    # a host sync, not mid-dispatch
+                    if it == 2:
+                        jax.profiler.start_trace(
+                            os.path.join(cfg.output_dir, "profile"))
+                        prof_active = True
+                    elif prof_active and it == 2 + args.profile_steps:
+                        if pending is not None:
+                            consume(*pending)
+                            pending = None
+                        jax.profiler.stop_trace()
+                        prof_active = False
+                        log.info("profiler trace written to "
+                                 f"{cfg.output_dir}/profile")
                 imgs2d, _ = next(loader2_iter)
                 if accum > 1:
                     from ..train.mae_engine import shard_microbatch
@@ -478,12 +499,17 @@ def main(argv=None):
                 pending = (metrics, fpaths, it)
             if pending is not None:
                 consume(*pending)
+            if prof_active:  # epoch shorter than the requested window
+                jax.profiler.stop_trace()
             k = schedules.spl_k_schedule(epoch, cfg.spl_k_max, cfg.spl_k_min,
                                          cfg.epochs, cfg.warmup_epochs)
             spl_state.update_spl(k)
             spl_state.save(cfg.output_dir, epoch)
+            # async: the multi-GB state write overlaps the next epoch
+            # (readers barrier via wait_for_saves inside the ckpt helpers)
             ckpt_lib.save_checkpoint(ckpt_dir, epoch, state,
-                                     {"epoch": epoch}, keep_last=3)
+                                     {"epoch": epoch}, keep_last=3,
+                                     async_save=True)
             jsonl.write({"epoch": epoch,
                          "train_loss": meter.meters["loss"].global_avg,
                          "lr": float(sched(state.step)),
@@ -493,6 +519,7 @@ def main(argv=None):
             tb.scalar("spl_k", k, epoch + 1)
             tb.flush()
             log.info(f"epoch {epoch} done: {meter}")
+    ckpt_lib.wait_for_saves(ckpt_dir)
     log.info("pretraining complete")
     return state
 
@@ -595,7 +622,8 @@ def _main_2d(args):
             spl_state.update_spl(k)
             spl_state.save(out_dir, epoch)
             ckpt_lib.save_checkpoint(os.path.join(out_dir, "ckpt"), epoch,
-                                     state, {"epoch": epoch}, keep_last=2)
+                                     state, {"epoch": epoch}, keep_last=2,
+                                     async_save=True)
             jsonl.write({"epoch": epoch,
                          "train_loss": meter.meters["loss"].global_avg})
             log.info(f"2d epoch {epoch}: {meter}")

@@ -400,7 +400,8 @@ def main(argv=None):
             if (epoch + 1) % cfg.save_frequency == 0:
                 ckpt_lib.save_checkpoint(ckpt_dir, epoch, state,
                                          {"epoch": epoch},
-                                         keep_last=cfg.keep_last)
+                                         keep_last=cfg.keep_last,
+                                         async_save=True)
             tb.scalar("train_loss", meter.meters["loss"].global_avg,
                       epoch + 1)
             for mk, mv in metrics.items():

@@ -205,7 +205,8 @@ def _main_synthetic(args):
                     best_auc, best_epoch = auc, epoch
                     cdir = os.path.join(args.output_dir, f"ckpt_fold{fold}")
                     ckpt_lib.save_checkpoint(cdir, epoch, state,
-                                             {"epoch": epoch}, keep_last=1)
+                                             {"epoch": epoch}, keep_last=1,
+                                             async_save=True)
                     registry_entries[fold] = {
                         "best_val": os.path.join(cdir, str(epoch)),
                         "best_test": os.path.join(cdir, str(epoch))}
@@ -403,7 +404,8 @@ def _main_manifest(args):
                     best_primary, best_epoch = val_m[primary], epoch
                     cdir = os.path.join(args.output_dir, f"ckpt_fold{fold}")
                     ckpt_lib.save_checkpoint(cdir, epoch, state,
-                                             {"epoch": epoch}, keep_last=1)
+                                             {"epoch": epoch}, keep_last=1,
+                                             async_save=True)
                     registry_entries[fold] = {
                         "best_val": os.path.join(cdir, str(epoch)),
                         "best_test": os.path.join(cdir, str(epoch))}

@@ -12,6 +12,7 @@ Parity targets (SURVEY §5.4):
 
 from __future__ import annotations
 
+import atexit
 import os
 import re
 from typing import Any
@@ -19,27 +20,74 @@ from typing import Any
 import orbax.checkpoint as ocp
 
 
-def _manager(ckpt_dir: str, keep_last: int | None = None) -> ocp.CheckpointManager:
+def _manager(ckpt_dir: str, keep_last: int | None = None,
+             async_save: bool = False) -> ocp.CheckpointManager:
     options = ocp.CheckpointManagerOptions(
-        max_to_keep=keep_last, create=True, enable_async_checkpointing=False)
+        max_to_keep=keep_last, create=True,
+        enable_async_checkpointing=async_save)
     return ocp.CheckpointManager(os.path.abspath(ckpt_dir), options=options)
+
+
+# Long-lived managers for async saves, keyed by abs dir.  Async managers
+# must stay open while the background write runs; wait_for_saves() (or any
+# read/delete helper below, which call it) is the commit barrier.
+_ASYNC_MANAGERS: dict[str, ocp.CheckpointManager] = {}
+
+
+def wait_for_saves(ckpt_dir: str | None = None) -> None:
+    """Block until pending async saves (for `ckpt_dir`, or all) commit."""
+    if ckpt_dir is not None:
+        mgr = _ASYNC_MANAGERS.get(os.path.abspath(ckpt_dir))
+        if mgr is not None:
+            mgr.wait_until_finished()
+        return
+    for mgr in _ASYNC_MANAGERS.values():
+        mgr.wait_until_finished()
+
+
+def _close_async_managers() -> None:
+    for key in list(_ASYNC_MANAGERS):
+        mgr = _ASYNC_MANAGERS.pop(key)
+        mgr.wait_until_finished()
+        mgr.close()
+
+
+atexit.register(_close_async_managers)
 
 
 def save_checkpoint(ckpt_dir: str, step: int, state: Any,
                     extra: dict | None = None,
-                    keep_last: int | None = None) -> None:
-    """Save a TrainState (or any pytree) + JSON-able metadata at `step`."""
-    mgr = _manager(ckpt_dir, keep_last)
+                    keep_last: int | None = None,
+                    async_save: bool = False) -> None:
+    """Save a TrainState (or any pytree) + JSON-able metadata at `step`.
+
+    async_save=True returns as soon as the device->host copy is staged and
+    writes to disk in the background (the training CLIs use this so the
+    multi-GB ViT-L state write overlaps the next epoch's compute — the
+    reference's rank-0 torch.save blocks the step loop,
+    custom_util/misc.py:376-387).  The restore/delete/latest helpers below
+    act as commit barriers, so readers never observe a half-written step.
+    """
     args = ocp.args.Composite(
         state=ocp.args.StandardSave(state),
         **({"extra": ocp.args.JsonSave(extra)} if extra else {}),
     )
+    if async_save:
+        key = os.path.abspath(ckpt_dir)
+        mgr = _ASYNC_MANAGERS.get(key)
+        if mgr is None:
+            mgr = _manager(ckpt_dir, keep_last, async_save=True)
+            _ASYNC_MANAGERS[key] = mgr
+        mgr.save(step, args=args)  # waits for the PREVIOUS save internally
+        return
+    mgr = _manager(ckpt_dir, keep_last)
     mgr.save(step, args=args)
     mgr.wait_until_finished()
     mgr.close()
 
 
 def latest_step(ckpt_dir: str) -> int | None:
+    wait_for_saves(ckpt_dir)
     if not os.path.isdir(ckpt_dir):
         return None
     steps = []
@@ -56,6 +104,7 @@ def delete_recent_checkpoints(ckpt_dir: str, n: int) -> list[int]:
     pre-divergence state)."""
     import shutil
 
+    wait_for_saves(ckpt_dir)
     deleted = []
     for _ in range(n):
         step = latest_step(ckpt_dir)
@@ -73,6 +122,7 @@ def restore_raw(ckpt_dir: str, step: int | None = None) -> tuple[Any, int]:
     (the reference loads the contrastive state_dict into the
     Classification model strict=False,
     main_retclip_finetune_more_cls_3mod.py:452-470)."""
+    wait_for_saves(ckpt_dir)
     if step is None:
         step = latest_step(ckpt_dir)
         if step is None:
@@ -87,6 +137,7 @@ def restore_raw(ckpt_dir: str, step: int | None = None) -> tuple[Any, int]:
 def restore_checkpoint(ckpt_dir: str, state_template: Any,
                        step: int | None = None) -> tuple[Any, dict | None, int]:
     """Restore (state, extra, step). step=None -> latest."""
+    wait_for_saves(ckpt_dir)
     if step is None:
         step = latest_step(ckpt_dir)
         if step is None:

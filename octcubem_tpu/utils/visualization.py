@@ -94,3 +94,52 @@ def save_recon_grid(panels, out_dir: str, tag: str, frame_stride: int = 10):
     fig.savefig(path, dpi=100)
     plt.close(fig)
     return path
+
+
+def save_cam_overlays(volume: np.ndarray, cam: np.ndarray, out_dir: str,
+                      tag: str = "cam", frame_stride: int = 8,
+                      alpha: float = 0.5) -> str:
+    """Render Grad-CAM heatmap overlays onto volume frames.
+
+    Parity target: the reference's pytorch-grad-cam rendering around
+    oph_vis_util/base_cam_retclip_3mod.py (scale_cam_image + cv2-style
+    colormap blend onto the input image).
+
+    volume: [T, H, W] grayscale in [0, 1] (or [0, 255]).
+    cam:    [t_grid, h, w] token saliency in [0, 1] (utils.saliency.gradcam
+            output for one sample).  Each t-slice covers a t_patch-sized
+            tube of frames; spatial maps are bilinearly upsampled.
+
+    Writes a PNG grid (rows = frame, heatmap overlay) and returns its path.
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(out_dir, exist_ok=True)
+    vol = np.asarray(volume, np.float32)
+    if vol.max() > 1.5:
+        vol = vol / 255.0
+    T, H, W = vol.shape
+    cam = np.asarray(cam, np.float32)
+    t_grid = cam.shape[0]
+    frames = list(range(0, T, frame_stride)) or [0]
+    fig, axes = plt.subplots(2, len(frames),
+                             figsize=(2 * len(frames), 4.2), squeeze=False)
+    for col, fidx in enumerate(frames):
+        # frame -> covering tube (t-slice of the token grid)
+        tslice = min(int(fidx * t_grid / max(T, 1)), t_grid - 1)
+        axes[0][col].imshow(vol[fidx], cmap="gray", vmin=0, vmax=1)
+        axes[0][col].axis("off")
+        axes[0][col].set_title(f"frame {fidx}", fontsize=7)
+        axes[1][col].imshow(vol[fidx], cmap="gray", vmin=0, vmax=1)
+        # imshow interpolates the coarse token map over the frame extent
+        axes[1][col].imshow(cam[tslice], cmap="jet", alpha=alpha,
+                            vmin=0.0, vmax=1.0, extent=(0, W, H, 0),
+                            interpolation="bilinear")
+        axes[1][col].axis("off")
+    path = os.path.join(out_dir, f"{tag}.png")
+    fig.tight_layout()
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+    return path

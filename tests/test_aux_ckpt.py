@@ -244,6 +244,32 @@ def test_checkpoint_save_restore_delete(tmp_path):
     assert ckpt.latest_step(d) == 0
 
 
+def test_checkpoint_async_save_barriers(tmp_path):
+    """async_save returns before the write commits; every reader helper
+    (latest_step / restore_* / delete_recent_checkpoints) is a commit
+    barrier, so an immediate restore sees the full step and the NaN
+    cleanup path never races a half-written checkpoint."""
+    state = {"w": jnp.arange(6.0).reshape(2, 3), "step": jnp.asarray(3)}
+    d = str(tmp_path / "ck_async")
+    for step in (0, 1):
+        ckpt.save_checkpoint(d, step, state, {"epoch": step}, keep_last=3,
+                             async_save=True)
+    assert ckpt.latest_step(d) == 1  # barrier: both saves committed
+    restored, extra, step = ckpt.restore_checkpoint(d, state)
+    assert step == 1 and extra["epoch"] == 1
+    np.testing.assert_array_equal(np.asarray(restored["w"]),
+                                  np.asarray(state["w"]))
+    # async save then the NaN-path delete: must remove the just-saved step
+    ckpt.save_checkpoint(d, 2, state, {"epoch": 2}, keep_last=3,
+                         async_save=True)
+    deleted = ckpt.delete_recent_checkpoints(d, 1)
+    assert deleted == [2]
+    raw, step = ckpt.restore_raw(d)
+    assert step == 1
+    ckpt.wait_for_saves(d)  # idempotent on a drained manager
+    ckpt.wait_for_saves()
+
+
 @pytest.mark.slow
 def test_hf_text_tower_forward():
     """HFTextTower (hf_model.py:83-145 equivalent): a tiny from-config

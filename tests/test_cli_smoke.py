@@ -13,12 +13,17 @@ def test_pretrain_cli_smoke(tmp_path):
     from octcubem_tpu.cli import pretrain
 
     out = str(tmp_path / "pt")
-    pretrain.main(["--synthetic", "--tiny", "--epochs", "1",
-                   "--batch_size", "8", "--steps_per_epoch", "1",
+    pretrain.main(["--synthetic", "--synthetic_n", "32", "--tiny",
+                   "--epochs", "1", "--batch_size", "8",
+                   "--steps_per_epoch", "4", "--profile_steps", "1",
                    "--output_dir", out])
     assert os.path.exists(os.path.join(out, "log.txt"))
     assert os.path.exists(os.path.join(out, "all_image_dict-0.pkl"))
     assert os.path.isdir(os.path.join(out, "ckpt", "0"))
+    # --profile_steps wrote a jax.profiler trace of the steady-state window
+    prof = os.path.join(out, "profile")
+    assert os.path.isdir(prof) and any(
+        f for _, _, fs in os.walk(prof) for f in fs)
 
 
 def test_pretrain_cli_2d_mode_smoke(tmp_path):
@@ -446,6 +451,14 @@ def test_infer_cli_smoke(tmp_path):
                         "--nb_classes", "4"])
     assert probs.shape == (2, 2)
     np.testing.assert_allclose(probs.sum(axis=1), 1.0, rtol=1e-4)
+
+    # Grad-CAM overlay rendering (reference oph_vis_util CAM output)
+    sal = tmp_path / "sal"
+    probs2 = infer.main([p, "--num_frames", "6", "--input_size", "32",
+                         "--nb_classes", "4", "--saliency_dir", str(sal)])
+    np.testing.assert_allclose(probs2, probs, atol=1e-5)
+    pngs = list(sal.glob("cam_*.png"))
+    assert len(pngs) == 1 and pngs[0].stat().st_size > 0
 
 
 def test_predict_cli_smoke(tmp_path):

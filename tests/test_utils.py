@@ -150,3 +150,17 @@ def test_recon_mask_pixel_layout():
     expect = np.ones((6, 4, 4), np.float32)
     expect[0:3, 2:4, 0:2] = 0.0  # that token's pixel tube, nothing else
     np.testing.assert_array_equal(masked[0, ..., 0], expect)
+
+
+def test_save_cam_overlays(tmp_path):
+    """CAM overlay rendering: frame->tube slice mapping, PNG written."""
+    vol = np.random.default_rng(0).random((12, 32, 32)).astype(np.float32)
+    cam = np.zeros((4, 2, 2), np.float32)
+    cam[1, 0, 1] = 1.0
+    path = visualization.save_cam_overlays(vol, cam, str(tmp_path),
+                                           tag="cam_t", frame_stride=5)
+    assert os.path.exists(path) and os.path.getsize(path) > 0
+    # 255-scaled volumes are normalized, not clipped
+    path2 = visualization.save_cam_overlays(vol * 255.0, cam, str(tmp_path),
+                                            tag="cam_u8")
+    assert os.path.exists(path2)
