@@ -43,6 +43,20 @@ class SyntheticCls3D:
 def build_model(cfg, dtype):
     from ..models import registry
 
+    if cfg.model_family == "slivit":
+        # slivit_baseline (ConvNeXt trunk) or *_slivit (ViT-ST trunk +
+        # SLIViT head); neither takes drop_path (reference trunks are
+        # frozen-config, main_…diffmodal.py:1083-1094)
+        kw = dict(num_classes=cfg.num_classes,
+                  slivit_depth=cfg.slivit_depth, dtype=dtype)
+        if cfg.model == "slivit_baseline":
+            kw.update(num_frames=cfg.num_frames, img_size=cfg.input_size)
+        else:
+            kw.update(num_frames=cfg.num_frames,
+                      t_patch_size=cfg.t_patch_size,
+                      img_size=cfg.input_size, in_chans=cfg.in_chans)
+        return registry.create_model("slivit", cfg.model, **kw)
+
     kw = dict(num_classes=cfg.num_classes, drop_path_rate=cfg.drop_path,
               dtype=dtype)
     if cfg.model_family in ("vit_st", "vit_st_dropout"):
@@ -217,6 +231,11 @@ def main(argv=None):
     parser.add_argument("--output_dir", default=None)
     parser.add_argument("--k_folds", type=int, default=None)
     parser.add_argument("--variable_joint", action="store_true", default=None)
+    parser.add_argument("--slivit_dataset", choices=["ct3d", "us3d"],
+                        default=None,
+                        help="SLIViT cross-modality data (main_…diffmodal.py "
+                             "--slivit_dataset): ct3d = nodulemnist3d.npz at "
+                             "--data_dir; us3d = EchoNet root at --data_dir")
     parser.add_argument("--tiny", action="store_true")
     args = parser.parse_args(argv)
 
@@ -230,23 +249,43 @@ def main(argv=None):
     from ..data import patients, transforms
     from ..utils.logging import get_logger
 
+    if args.slivit_dataset and args.preset == "octcube_multitask":
+        args.preset = f"slivit_{args.slivit_dataset}"  # canonical preset
     overrides = {k: v for k, v in (
         ("epochs", args.epochs), ("batch_size", args.batch_size),
         ("output_dir", args.output_dir), ("k_folds", args.k_folds),
-        ("variable_joint", args.variable_joint))
+        ("variable_joint", args.variable_joint),
+        ("slivit_dataset", args.slivit_dataset))
         if v is not None}
     cfg = load_config(FinetuneConfig, args.preset, **overrides)
     if args.tiny:
         cfg = dataclasses.replace(
             cfg, num_frames=6, input_size=32, num_classes=6,
             high_res_input_size=64, disease_list=("AMD", "DME", "POG"))
+        if cfg.slivit_dataset:
+            # trunk stride is 32, so slices stay >= 32px; shrink the
+            # ConvNeXt + head depths instead of the geometry
+            cfg = dataclasses.replace(
+                cfg, num_frames=4, num_classes=2 if
+                cfg.slivit_dataset == "ct3d" else 1, slivit_depth=1,
+                disease_list=("nodule",) if cfg.slivit_dataset == "ct3d"
+                else ("EF",),
+                task_mode="multi_cls" if cfg.slivit_dataset == "ct3d"
+                else "regression")
     os.makedirs(cfg.output_dir, exist_ok=True)
     log = get_logger("finetune", os.path.join(cfg.output_dir, "out.log"))
     with open(os.path.join(cfg.output_dir, "args.json"), "w") as f:
         f.write(to_json(cfg))
 
     dtype = jnp.bfloat16 if cfg.precision == "bf16" else jnp.float32
-    if args.tiny:
+    if args.tiny and cfg.slivit_dataset:
+        from ..models.slivit import SLIViT
+        model = SLIViT(num_patches=cfg.num_frames,
+                       num_classes=cfg.num_classes,
+                       slice_size=cfg.input_size, vit_depth=cfg.slivit_depth,
+                       convnext_depths=(1, 1, 1, 1),
+                       convnext_dims=(8, 8, 8, 16), dtype=dtype)
+    elif args.tiny:
         from ..models.vit_st import VisionTransformerST
         model = VisionTransformerST(
             num_frames=cfg.num_frames, t_patch_size=3, img_size=cfg.input_size,
@@ -258,7 +297,21 @@ def main(argv=None):
         model = build_model(cfg, dtype)
 
     # ---- datasets
-    if args.synthetic or args.data_dir is None:
+    if cfg.slivit_dataset is not None and args.data_dir is not None:
+        # SLIViT cross-modality experiments (main_…diffmodal.py
+        # --slivit_exp): predefined train/val/test splits, single fold
+        from ..data import crossmodal
+        if cfg.slivit_dataset == "ct3d":
+            mk = lambda split: crossmodal.MedMNIST3DDataset(
+                args.data_dir, split, num_frames=cfg.num_frames,
+                input_size=cfg.input_size)
+            folds = [(mk("train"), mk("val"), mk("test"))]
+        else:  # us3d: EchoNet EF regression
+            mk = lambda split: crossmodal.EchoNetDataset(
+                args.data_dir, split, num_frames=cfg.num_frames,
+                input_size=cfg.input_size)
+            folds = [(mk("TRAIN"), mk("VAL"), mk("TEST"))]
+    elif args.synthetic or args.data_dir is None:
         n_cols = 1 + len(cfg.disease_list)
         full = SyntheticCls3D(args.synthetic_n, cfg.num_frames,
                               cfg.input_size, n_cols, cfg.task_mode)

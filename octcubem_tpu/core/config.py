@@ -126,6 +126,12 @@ class FinetuneConfig:
     high_res_num_frames: Optional[int] = None
     k_folds: int = 1
     fold: int = 0
+    # SLIViT cross-modality experiments (--slivit_exp path,
+    # main_finetune_downstream_inhouse_singlefold_diffmodal.py:82-101):
+    # slivit_dataset selects nodule-CT (ct3d) or EchoNet (us3d);
+    # slivit_depth = --slivit_vit_depth_num (compact-ViT head layers)
+    slivit_dataset: Optional[str] = None  # None | ct3d | us3d
+    slivit_depth: int = 5
     patience: Optional[int] = None
     early_stop_patience: Optional[int] = None
     precision: str = "bf16"
@@ -220,6 +226,19 @@ PRESETS: dict[str, Any] = {
     "vitl_joint_pretrain_sp4": MAEPretrainConfig(n_sp=4,
                                                  attn_impl="flash_sp"),
     "octcube_multitask": FinetuneConfig(),
+    # SLIViT cross-modality baselines (main_…diffmodal.py --slivit_exp):
+    # nodule-CT classification (MedMNIST 28^3 resized to 256^2 slices) and
+    # EchoNet EF regression; slices run through the ConvNeXt trunk at 256^2
+    "slivit_ct3d": FinetuneConfig(
+        model_family="slivit", model="slivit_baseline",
+        slivit_dataset="ct3d", task_mode="multi_cls", num_classes=2,
+        num_frames=28, input_size=256, batch_size=4, epochs=20,
+        blr=5e-4, layer_decay=1.0, disease_list=("nodule",)),
+    "slivit_us3d": FinetuneConfig(
+        model_family="slivit", model="slivit_baseline",
+        slivit_dataset="us3d", task_mode="regression", num_classes=1,
+        num_frames=32, input_size=256, batch_size=4, epochs=20,
+        blr=5e-4, layer_decay=1.0, disease_list=("EF",)),
     "octcube_ir": RetClipConfig(),
     "octcube_ef": RetClipConfig(three_mod=True),
     "infer_8disease": InferConfig(),

@@ -16,6 +16,7 @@ from __future__ import annotations
 import csv
 import dataclasses
 import os
+from typing import Callable, Optional
 
 import numpy as np
 
@@ -30,7 +31,7 @@ class MedMNIST3DDataset:
     split: str = "train"
     num_frames: int = 28
     input_size: int = 28
-    transform=None
+    transform: Optional[Callable] = None
 
     def __post_init__(self):
         data = np.load(self.npz_path)
@@ -64,7 +65,7 @@ class EchoNetDataset:
     split: str = "TRAIN"
     num_frames: int = 32
     input_size: int = 112
-    transform=None
+    transform: Optional[Callable] = None
 
     def __post_init__(self):
         self.items: list[tuple[str, float]] = []

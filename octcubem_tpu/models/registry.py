@@ -9,6 +9,7 @@ Model families map to the reference modules:
   vit2d             -> models_vit / models_vit_flash_attn
   vit_3dhead        -> models_vit_3dhead_flash_attn
   mae3d             -> models_mae_joint_res_flash_attn
+  slivit            -> model_slivit_baseline / models_vit_st_flash_attn_slivit
   coem2 / coem3     -> open_clip CustomTextCLIP(3Mod)
 """
 
@@ -16,7 +17,7 @@ from __future__ import annotations
 
 import json
 import os
-from . import mae3d, vit_st, vit2d, vit_3dhead, coem
+from . import mae3d, vit_st, vit2d, vit_3dhead, coem, slivit
 
 _FAMILIES = {
     "vit_st": vit_st,
@@ -24,6 +25,7 @@ _FAMILIES = {
     "vit2d": vit2d,
     "vit_3dhead": vit_3dhead,
     "mae3d": mae3d,
+    "slivit": slivit,
 }
 
 

@@ -153,6 +153,10 @@ class ViTSTWithSLIViTHead(nn.Module):
     slivit_depth: int = 5
     dtype: Any = jnp.float32
 
+    @property
+    def patch_size(self) -> int:
+        return (self.trunk_kwargs or {}).get("patch_size", 16)
+
     def setup(self):
         from .vit_st import VisionTransformerST
 
@@ -191,6 +195,9 @@ class SLIViT(nn.Module):
     num_patches: int = 20           # N slices
     num_classes: int = 1
     slice_size: int = 256
+    vit_depth: int = 5              # --slivit_vit_depth_num (main_…diffmodal.py:101)
+    convnext_depths: Sequence[int] = (3, 3, 9, 3)
+    convnext_dims: Sequence[int] = (96, 192, 384, 768)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -200,7 +207,9 @@ class SLIViT(nn.Module):
         if c == 1:
             x = jnp.repeat(x, 3, axis=-1)
         tall = x.reshape(b, n * h, w, 3)
-        feat = ConvNeXtTiny(dtype=self.dtype, name="feature_extractor")(tall)
+        feat = ConvNeXtTiny(depths=self.convnext_depths,
+                            dims=self.convnext_dims, dtype=self.dtype,
+                            name="feature_extractor")(tall)
         fh, fw, fc = feat.shape[1:]
         per = fh // n
         # [B, n*per, fw, 768] -> tokens [B, n, 768 * per * fw]
@@ -209,5 +218,33 @@ class SLIViT(nn.Module):
         tok = tok.reshape(b, n, fc * per * fw)
         return SLIViTHead(
             num_patches=self.num_patches, patch_dim=tok.shape[-1],
-            num_classes=self.num_classes, dtype=self.dtype, name="vit")(
-                tok, deterministic)
+            num_classes=self.num_classes, depth=self.vit_depth,
+            dtype=self.dtype, name="vit")(tok, deterministic)
+
+
+# ---- constructor registry (reference models_*.__dict__[name] pattern) ----
+
+def slivit_baseline(*, num_classes=1, num_frames=20, img_size=256,
+                    slivit_depth=5, convnext_depths=(3, 3, 9, 3),
+                    convnext_dims=(96, 192, 384, 768),
+                    dtype=jnp.float32) -> SLIViT:
+    """The standalone SLIViT baseline (model_slivit_baseline.py:18-92);
+    num_frames = N slices sparsed from the volume (--slivit_slices)."""
+    return SLIViT(num_patches=num_frames, num_classes=num_classes,
+                  slice_size=img_size, vit_depth=slivit_depth,
+                  convnext_depths=tuple(convnext_depths),
+                  convnext_dims=tuple(convnext_dims), dtype=dtype)
+
+
+def vit_large_patch16_slivit(*, num_classes=1, slivit_depth=5,
+                             dtype=jnp.float32, **trunk_kw):
+    """OCTCube ViT-L trunk + SLIViT head
+    (models_vit_st_flash_attn_slivit.py vit_large_patch16 with
+    slivit_depth_num, built at main_…diffmodal.py:1083-1094)."""
+    trunk = dict(patch_size=16, embed_dim=1024, depth=24, num_heads=16)
+    trunk.update(trunk_kw)
+    return ViTSTWithSLIViTHead(num_classes=num_classes, trunk_kwargs=trunk,
+                               slivit_depth=slivit_depth, dtype=dtype)
+
+
+flash_attn_vit_large_patch16_slivit = vit_large_patch16_slivit

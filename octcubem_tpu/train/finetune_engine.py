@@ -118,7 +118,9 @@ def evaluate(predict_step, params, batches, task_mode: str,
     preds, trues = [], []
     for batch, target in batches:
         out = predict_step(params, batch)
-        preds.append(np.asarray(out))
+        # bf16 model outputs -> float32: numpy's ml_dtypes bfloat16 is not
+        # a dtype scipy/sklearn accept (pearsonr raises on it)
+        preds.append(np.asarray(out).astype(np.float32))
         trues.append(np.asarray(target))
     y_pred = np.concatenate(preds, axis=0)
     y_true = np.concatenate(trues, axis=0)

@@ -226,6 +226,53 @@ def test_finetune_cli_smoke(tmp_path):
     assert os.path.exists(os.path.join(out, "macro_metrics_val.csv"))
 
 
+def test_finetune_cli_slivit_ct3d(tmp_path):
+    """SLIViT cross-modality flow (main_…diffmodal.py --slivit_exp
+    --slivit_dataset ct3d): nodulemnist3d.npz fixture -> SLIViT baseline
+    (tiny ConvNeXt trunk) -> multi_cls metrics over the predefined
+    train/val/test splits."""
+    from octcubem_tpu.cli import finetune
+
+    rng = np.random.default_rng(0)
+    npz = tmp_path / "nodulemnist3d.npz"
+
+    def mk(n):
+        return (rng.integers(0, 255, (n, 28, 28, 28), dtype=np.uint8),
+                rng.integers(0, 2, (n, 1), dtype=np.int64))
+
+    tr_i, tr_l = mk(8)
+    va_i, va_l = mk(4)
+    te_i, te_l = mk(4)
+    np.savez(npz, train_images=tr_i, train_labels=tr_l,
+             val_images=va_i, val_labels=va_l,
+             test_images=te_i, test_labels=te_l)
+    out = str(tmp_path / "slivit_ct3d")
+    res = finetune.main(["--slivit_dataset", "ct3d", "--tiny",
+                         "--data_dir", str(npz), "--epochs", "1",
+                         "--batch_size", "4", "--output_dir", out])
+    assert len(res) == 1
+    assert os.path.exists(os.path.join(out, "macro_metrics_val.csv"))
+
+
+def test_finetune_cli_slivit_us3d_regression_synthetic(tmp_path):
+    """us3d (EchoNet EF) regression mode end-to-end on synthetic data:
+    the slivit_us3d preset routes task_mode=regression through the SLIViT
+    baseline and the pearson/R2 regression metric battery."""
+    import csv
+
+    from octcubem_tpu.cli import finetune
+
+    out = str(tmp_path / "slivit_us3d")
+    res = finetune.main(["--slivit_dataset", "us3d", "--tiny", "--synthetic",
+                         "--synthetic_n", "20", "--epochs", "1",
+                         "--batch_size", "4", "--output_dir", out])
+    assert len(res) == 1
+    path = os.path.join(out, "macro_metrics_val.csv")
+    with open(path) as f:
+        rows = list(csv.DictReader(f))
+    assert rows and "mse" in rows[0]
+
+
 def test_retclip_cli_smoke_accum_heldout(tmp_path):
     """octcube_ir preset semantics through the CLI: accum_freq=4
     feature-cached accumulation (effective batch = batch*4,

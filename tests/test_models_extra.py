@@ -110,6 +110,22 @@ def test_retfound_loads_into_mae3d():
     assert np.isfinite(float(loss))
 
 
+def test_slivit_baseline_factory():
+    """registry 'slivit' family: slivit_baseline builds a configurable
+    trunk (model_slivit_baseline.py:18-92) and forwards [B,N,H,W,1]."""
+    from octcubem_tpu.models import registry
+
+    m = registry.create_model(
+        "slivit", "slivit_baseline", num_classes=2, num_frames=4,
+        img_size=32, slivit_depth=1, convnext_depths=(1, 1, 1, 1),
+        convnext_dims=(8, 8, 8, 16))
+    x = jax.random.normal(jax.random.key(0), (2, 4, 32, 32, 1))
+    p = m.init(jax.random.key(1), x)
+    out = m.apply(p, x)
+    assert out.shape == (2, 2)
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_vit_st_slivit_head():
     from octcubem_tpu.models.slivit import ViTSTWithSLIViTHead
     m = ViTSTWithSLIViTHead(

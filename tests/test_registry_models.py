@@ -40,6 +40,10 @@ def test_registry_name_constructs_and_forwards(family, name):
                   num_classes=4)
     elif family == "vit_3dhead":
         kw.update(img_size=img, in_chans=1, num_classes=4)
+    elif family == "slivit":  # ViT-ST trunk + SLIViT head
+        kw.update(img_size=img, in_chans=1, num_frames=6, t_patch_size=3,
+                  num_classes=4, embed_dim=32, depth=2, num_heads=2,
+                  slivit_depth=1)
     else:  # vit2d
         kw.update(img_size=img, in_chans=1, num_classes=4)
 
@@ -62,7 +66,7 @@ def test_registry_name_constructs_and_forwards(family, name):
                                 rngs={"masking": jax.random.key(2)})
         assert np.isfinite(float(loss))
         return
-    if family in ("vit_st", "vit_st_dropout"):
+    if family in ("vit_st", "vit_st_dropout", "slivit"):
         x = jnp.ones((1, 6, img, img, 1))
     elif family == "vit_3dhead":
         x = jnp.ones((1, 6, img, img, 1))
