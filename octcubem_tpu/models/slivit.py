@@ -144,8 +144,12 @@ class ViTSTWithSLIViTHead(nn.Module):
     the backbone's final tokens (un-normed last-MLP-branch under flash
     semantics, cls dropped) are regrouped per temporal slab
     [B, T', C, L] -> [B, T', C*L] and fed to the SLIViT compact ViT.
-    The RETFound variant (models_vit_3dhead_flash_attn_slivit.py) is the
-    same head over vit_3dhead slice embeddings.
+    (The RETFound variant, models_vit_3dhead_flash_attn_slivit.py, is
+    defective dead code in the reference: `slivit_depth_num` is an
+    undefined name in its __init__ (NameError on construction, :44), the
+    SLIViT_head is never invoked in forward_features (:49-68), and no
+    main imports the module — not rebuilt, per the SURVEY dead-code
+    rule.)
     """
 
     num_classes: int = 1
