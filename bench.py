@@ -49,6 +49,14 @@ if BATCH == 6 and os.environ.get("BENCH_ALLOW_BATCH6") != "1":
           "set BENCH_ALLOW_BATCH6=1 for deliberate repro work", flush=True)
     sys.exit(2)
 REMAT = os.environ.get("BENCH_REMAT", "0") == "1"
+# BENCH_DEC_HEADS: decoder head count.  16 = reference parity geometry
+# (Pre-training/models_mae_joint_res_flash_attn.py:807-843 ->
+# decoder_embed_dim 512 / 16 heads = head_dim 32).  4 = the TPU-native
+# redesign (head_dim 128 fills all MXU contraction lanes on the decoder
+# attention that is 44% of step FLOPs).  The MAE decoder is a pretraining
+# scaffold discarded after pretraining, so new runs do not owe the
+# reference its geometry; FLOPs are identical either way (same dims).
+DEC_HEADS = int(os.environ.get("BENCH_DEC_HEADS", "16"))
 # BENCH_MESH=1: shard the batch over ALL local devices (batch scales with
 # device count; vol/s reported per chip). Off by default to keep the
 # proven single-chip graph/compile-cache.
@@ -130,6 +138,7 @@ def main():
         input_size=IMG, high_res_input_size=512, in_chans=1,
         dtype=jnp.bfloat16, attn_impl="auto", remat=REMAT,
         remat_norm=os.environ.get("BENCH_REMAT_NORM", "0") == "1",
+        decoder_num_heads=DEC_HEADS,
     )
     x = jax.random.normal(jax.random.key(0), (BATCH, FRAMES, IMG, IMG, 1),
                           jnp.float32)
@@ -201,6 +210,7 @@ def main():
         "vs_baseline": round(vols_per_sec / a100_est, 3),
         "step_time_ms": round(step_time * 1000, 1),
         "batch": BATCH,
+        "decoder_num_heads": DEC_HEADS,
         "remat": REMAT,
         "mfu": round(mfu, 4),
         "flops_per_volume_T": round(flops_per_vol / 1e12, 3),

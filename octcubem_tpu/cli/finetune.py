@@ -44,9 +44,11 @@ def build_model(cfg, dtype):
     from ..models import registry
 
     if cfg.model_family == "slivit":
-        # slivit_baseline (ConvNeXt trunk) or *_slivit (ViT-ST trunk +
-        # SLIViT head); neither takes drop_path (reference trunks are
-        # frozen-config, main_…diffmodal.py:1083-1094)
+        # slivit_baseline (ConvNeXt trunk, no drop_path knob in the
+        # reference build, model_slivit_baseline.py:18-92) or *_slivit
+        # (ViT-ST trunk + SLIViT head; the reference passes
+        # drop_path_rate=args.drop_path into the trunk,
+        # main_…diffmodal.py:1084-1095)
         kw = dict(num_classes=cfg.num_classes,
                   slivit_depth=cfg.slivit_depth, dtype=dtype)
         if cfg.model == "slivit_baseline":
@@ -54,7 +56,8 @@ def build_model(cfg, dtype):
         else:
             kw.update(num_frames=cfg.num_frames,
                       t_patch_size=cfg.t_patch_size,
-                      img_size=cfg.input_size, in_chans=cfg.in_chans)
+                      img_size=cfg.input_size, in_chans=cfg.in_chans,
+                      drop_path_rate=cfg.drop_path)
         return registry.create_model("slivit", cfg.model, **kw)
 
     kw = dict(num_classes=cfg.num_classes, drop_path_rate=cfg.drop_path,

@@ -9,6 +9,7 @@ per-epoch retrieval eval, results.jsonl + retrieval pkl dump.
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import os
 import pickle
 
@@ -104,6 +105,10 @@ def main(argv=None):
     parser.add_argument("--opt_chain", action="store_true",
                         help="legacy optax.chain optimizer layout (resume "
                              "pre-fused-AdamW checkpoints)")
+    parser.add_argument("--wandb", action="store_true",
+                        help="log to Weights & Biases if installed "
+                             "(main_retclip.py:288-308); no-op otherwise")
+    parser.add_argument("--wandb_project_name", default="octcubem")
     parser.add_argument("--resume_params_only", action="store_true",
                         help="restore params only (fresh optimizer) — "
                              "works across optimizer-layout changes")
@@ -326,6 +331,13 @@ def main(argv=None):
     jsonl = JsonlLogger(cfg.output_dir, "results.jsonl")
     # --report-to tensorboard equivalent (main_retclip.py:283-308)
     tb = TBWriter(os.path.join(cfg.output_dir, "tb"))
+    # --wandb equivalent (main_retclip.py:288-308): import-guarded; a
+    # silent no-op where the package is absent (this image)
+    from ..utils.logging import WandbWriter
+    wandb_w = WandbWriter(args.wandb, cfg.output_dir,
+                          project=args.wandb_project_name,
+                          name=os.path.basename(cfg.output_dir) or "retclip",
+                          config=dataclasses.asdict(cfg))
 
     def eval_epoch(epoch):
         # one pass over the val loader: jnp batches for the metric
@@ -368,6 +380,7 @@ def main(argv=None):
     if cfg.evaluate_only:
         m = eval_epoch(0)
         log.info(f"eval-only: {m}")
+        wandb_w.finish()
         return m
 
     with mesh:
@@ -408,9 +421,12 @@ def main(argv=None):
                 if isinstance(mv, (int, float)):
                     tb.scalar(mk, mv, epoch + 1)
             tb.flush()
+            wandb_w.log({"train_loss": meter.meters["loss"].global_avg,
+                         **metrics}, step=epoch + 1)
             log.info(f"epoch {epoch}: loss {meter.meters['loss'].global_avg:.4f} "
                      f"{tput.rate:.1f} samples/s "
                      f"R@1 {metrics.get('image_to_enface_R@1', metrics.get('image_to_enface1_R@1', 0)):.3f}")
+    wandb_w.finish()
     return state
 
 

@@ -40,6 +40,11 @@ import numpy as np
 
 DISEASES = ["DME", "AMD", "POAG", "EPM", "DR", "VD", "RAO_RVO", "RNV"]
 
+# request-body cap: a raw in-house volume is 61x512x1024 fp64 ≈ 256 MB;
+# anything past that is a stray upload, not a scan — reject before
+# buffering it into host RAM (413)
+MAX_BODY_BYTES = 512 * 1024 * 1024
+
 
 def build_predictor(args):
     """Returns (predict(vol_f32[B,T,H,W,1]) -> logits, meta dict)."""
@@ -120,6 +125,16 @@ def make_handler(predict, meta, val_transform, lock):
                 return
             try:
                 n = int(self.headers.get("Content-Length", 0))
+            except (TypeError, ValueError):
+                self._json(400, {"error": "bad Content-Length"})
+                return
+            if n > MAX_BODY_BYTES:
+                # don't buffer an arbitrary-size upload into host RAM:
+                # the largest legitimate body is one fp64 raw volume
+                self._json(413, {"error": f"body {n} bytes exceeds limit "
+                                          f"{MAX_BODY_BYTES}"})
+                return
+            try:
                 vol = np.load(io.BytesIO(self.rfile.read(n)),
                               allow_pickle=False)
             except Exception as e:

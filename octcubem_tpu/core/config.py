@@ -227,12 +227,15 @@ PRESETS: dict[str, Any] = {
                                                  attn_impl="flash_sp"),
     "octcube_multitask": FinetuneConfig(),
     # SLIViT cross-modality baselines (main_…diffmodal.py --slivit_exp):
-    # nodule-CT classification (MedMNIST 28^3 resized to 256^2 slices) and
-    # EchoNet EF regression; slices run through the ConvNeXt trunk at 256^2
+    # nodule-CT classification — the reference loads 28^3 MedMNIST and
+    # hard-resizes every volume to (60, 256, 256) (MedMNISTDataset3D.py
+    # t_compose Resized spatial_size=(60,256,256); --slivit_slices
+    # default 60, main_…diffmodal.py:100), so 60 slices through the
+    # ConvNeXt trunk at 256^2 — and EchoNet EF regression
     "slivit_ct3d": FinetuneConfig(
         model_family="slivit", model="slivit_baseline",
         slivit_dataset="ct3d", task_mode="multi_cls", num_classes=2,
-        num_frames=28, input_size=256, batch_size=4, epochs=20,
+        num_frames=60, input_size=256, batch_size=4, epochs=20,
         blr=5e-4, layer_decay=1.0, disease_list=("nodule",)),
     "slivit_us3d": FinetuneConfig(
         model_family="slivit", model="slivit_baseline",

@@ -59,6 +59,12 @@ class EchoNetDataset:
     root/Videos/*.avi + root/FileList.csv (columns FileName, EF, Split).
     Returns ([T, S, S, 1], ef_float32) — the USDataset3D regression mode
     (--slivit_dataset us3d).
+
+    In regression mode the reference standardizes EF as
+    (EF - 60.0) / 12.371483 (USDataset3D.py:20-37, label_dtype='float'),
+    so training targets sit at ~0±1 under the recipe blr; `standardize`
+    mirrors that (default on).  De-standardize reported predictions with
+    `ef_mean`/`ef_std` if raw-EF-unit metrics are wanted.
     """
 
     root: str
@@ -66,6 +72,9 @@ class EchoNetDataset:
     num_frames: int = 32
     input_size: int = 112
     transform: Optional[Callable] = None
+    standardize: bool = True
+    ef_mean: float = 60.0           # USDataset3D.py:20 (the hardcoded
+    ef_std: float = 12.371483       # mean, not the data's 55.75)
 
     def __post_init__(self):
         self.items: list[tuple[str, float]] = []
@@ -104,4 +113,6 @@ class EchoNetDataset:
             vol, (self.num_frames, self.input_size, self.input_size))
         if self.transform is not None:
             vol = self.transform(vol)
+        if self.standardize:
+            ef = (ef - self.ef_mean) / self.ef_std
         return vol[..., None], np.float32(ef)

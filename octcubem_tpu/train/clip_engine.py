@@ -254,18 +254,28 @@ def make_clip_accum_train_step_3mod(model, tx, accum_freq: int,
 # ------------------------------------------- classification fine-tune steps
 
 def make_clip_cls_train_step(model, tx, criterion, three_mod: bool = False,
-                             single_modality: str | None = None):
+                             single_modality: str | None = None,
+                             partition=None):
     """Train step for the COEM classification fine-tune
     (train_retclip_finetune_more_cls_3mod.py train_one_epoch): towers +
     classification head, optional --single_modality ablation.  batch:
-    {'image', 'enface' | 'enface1'+'enface2', 'label'}."""
+    {'image', 'enface' | 'enface1'+'enface2', 'label'}.
+    partition: optional (split, merge) from optim.make_partition — LiT
+    locking in the cls fine-tune too (the reference locks via
+    model.lock_image_tower, main_retclip_finetune_more_cls_3mod.py:
+    364-371); grads/moments cover only the trainable subtree."""
     sm = single_modality
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch):
         rng, new_rng = jax.random.split(state.rng)
+        if partition is not None:
+            trainable, frozen = partition[0](state.params)
+        else:
+            trainable, frozen = state.params, None
 
-        def loss_fn(params):
+        def loss_fn(tr):
+            params = partition[1](tr, frozen) if partition is not None else tr
             if three_mod:
                 out = model.apply(params, batch["image"], batch["enface1"],
                                   batch["enface2"], single_modality=sm,
@@ -276,8 +286,12 @@ def make_clip_cls_train_step(model, tx, criterion, three_mod: bool = False,
                                   rngs={"dropout": rng})
             return criterion(out[0], batch["label"])
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        state = state.apply_gradients(tx, grads).replace(rng=new_rng)
+        loss, grads = jax.value_and_grad(loss_fn)(trainable)
+        if partition is not None:
+            state = _apply_partitioned(state, tx, grads, trainable, frozen,
+                                       partition[1], new_rng)
+        else:
+            state = state.apply_gradients(tx, grads).replace(rng=new_rng)
         return state, {"loss": loss, "grad_norm": optax_global_norm(grads)}
 
     return step

@@ -167,6 +167,49 @@ class TBWriter:
             self.writer.flush()
 
 
+class WandbWriter:
+    """Import-guarded Weights & Biases adapter (main_retclip.py:288-308).
+
+    The wandb package is absent from this image, so construction degrades
+    to a silent no-op (`active` False) and TB + JSONL remain the logging
+    substrate; where wandb IS installed, `enabled=True` mirrors the
+    reference's init (project/name/dir/config) and per-step `wandb.log`.
+    """
+
+    def __init__(self, enabled: bool, out_dir: str, project: str = "octcubem",
+                 name: str = "run", config: dict | None = None,
+                 notes: str = ""):
+        self.run = None
+        if not (enabled and is_master()):
+            return
+        try:
+            import wandb
+        except ImportError:
+            get_logger().warning(
+                "wandb requested but not installed; falling back to "
+                "TensorBoard + JSONL logging")
+            return
+        wandb_dir = os.path.join(out_dir, "wandb")
+        os.makedirs(wandb_dir, exist_ok=True)
+        self.run = wandb.init(project=project, dir=wandb_dir, name=name,
+                              notes=notes, tags=[], config=config or {})
+        self._log = wandb.log
+
+    @property
+    def active(self) -> bool:
+        return self.run is not None
+
+    def log(self, record: dict, step: int | None = None):
+        if self.run is not None:
+            self._log({k: v for k, v in record.items()
+                       if isinstance(v, (int, float))}, step=step)
+
+    def finish(self):
+        if self.run is not None:
+            self.run.finish()
+            self.run = None
+
+
 def device_memory_stats() -> dict:
     """Per-device memory telemetry — replaces the reference's
     gpu_mem_usage/cpu_mem_usage meters (custom_util/misc.py:633-657)."""

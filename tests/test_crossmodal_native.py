@@ -37,7 +37,12 @@ def test_echonet_reader(tmp_path):
     assert len(ds) == 1
     vol, ef = ds[0]
     assert vol.shape == (8, 32, 32, 1)
-    assert abs(ef - 55.3) < 1e-5
+    # regression labels are standardized like the reference
+    # (USDataset3D.py:20-37: (EF - 60.0) / 12.371483)
+    assert abs(ef - (55.3 - 60.0) / 12.371483) < 1e-5
+    raw = EchoNetDataset(str(tmp_path), "TRAIN", num_frames=8,
+                         input_size=32, standardize=False)
+    assert abs(raw[0][1] - 55.3) < 1e-5
 
 
 def test_native_loader_matches_pil(tmp_path):

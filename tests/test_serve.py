@@ -93,6 +93,17 @@ def test_serve_aot_roundtrip(tmp_path):
             assert False, "expected 400"
         except urllib.error.HTTPError as e:
             assert e.code == 400
+        # oversized body: rejected by the Content-Length cap BEFORE
+        # buffering (413) — claim a huge length, send a tiny body
+        req = urllib.request.Request(
+            base + "/predict", data=b"x",
+            headers={"Content-Length": str(serve.MAX_BODY_BYTES + 1)},
+            method="POST")
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            assert False, "expected 413"
+        except urllib.error.HTTPError as e:
+            assert e.code == 413
         try:
             urllib.request.urlopen(base + "/nope", timeout=30)
             assert False, "expected 404"

@@ -164,3 +164,47 @@ def test_save_cam_overlays(tmp_path):
     path2 = visualization.save_cam_overlays(vol * 255.0, cam, str(tmp_path),
                                             tag="cam_u8")
     assert os.path.exists(path2)
+
+
+def test_wandb_writer_stub_and_absent(tmp_path, monkeypatch):
+    """WandbWriter: no-op when wandb is missing (this image); mirrors the
+    reference init+log surface (main_retclip.py:288-308) when a module
+    named wandb is importable (stubbed here)."""
+    import sys
+    import types
+
+    from octcubem_tpu.utils.logging import WandbWriter
+
+    # absent package -> inert writer, no crash
+    w = WandbWriter(True, str(tmp_path))
+    assert not w.active
+    w.log({"loss": 1.0}, step=1)
+    w.finish()
+
+    # disabled -> never imports at all
+    assert not WandbWriter(False, str(tmp_path)).active
+
+    calls = {"logged": [], "finished": 0}
+
+    class Run:
+        def finish(self):
+            calls["finished"] += 1
+
+    stub = types.ModuleType("wandb")
+    def _init(**kw):
+        calls["init"] = kw
+        return Run()
+
+    stub.init = _init
+    stub.log = lambda rec, step=None: calls["logged"].append((rec, step))
+    monkeypatch.setitem(sys.modules, "wandb", stub)
+
+    w = WandbWriter(True, str(tmp_path), project="p", name="n",
+                    config={"a": 1})
+    assert w.active
+    assert calls["init"]["project"] == "p" and calls["init"]["name"] == "n"
+    assert os.path.isdir(os.path.join(str(tmp_path), "wandb"))
+    w.log({"loss": 0.5, "skip": "str"}, step=3)
+    assert calls["logged"] == [({"loss": 0.5}, 3)]
+    w.finish()
+    assert calls["finished"] == 1 and not w.active
