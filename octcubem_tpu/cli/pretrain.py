@@ -73,6 +73,11 @@ def main(argv=None):
     parser.add_argument("--accum_2d", type=int, default=None,
                         help="2D-branch-only microbatching (remat-free "
                              "joint fit; set 1 to disable the preset)")
+    parser.add_argument("--decoder_num_heads", type=int, default=None,
+                        help="MAE decoder heads: 16 = reference parity "
+                             "(head_dim 32), 4 = TPU-native (head_dim "
+                             "128, 1.8x step throughput at the same "
+                             "FLOPs — the vitl_mae_tpu_native preset)")
     parser.add_argument("--output_dir", default=None)
     parser.add_argument("--resume", default=None,
                         help="'latest' or a prior run dir / ckpt dir")
@@ -127,6 +132,7 @@ def main(argv=None):
         ("epoch_load_spl", args.epoch_load_spl),
         ("accum_iter", args.accum_iter),
         ("accum_2d", args.accum_2d),
+        ("decoder_num_heads", args.decoder_num_heads),
         ("opt_chain", args.opt_chain)) if v is not None}
     cfg = load_config(MAEPretrainConfig, args.preset, **overrides)
     os.makedirs(cfg.output_dir, exist_ok=True)
@@ -145,7 +151,8 @@ def main(argv=None):
                         num_frames=cfg.num_frames,
                         t_patch_size=cfg.t_patch_size,
                         pred_t_dim=cfg.pred_t_dim,
-                        norm_pix_loss=cfg.norm_pix_loss)
+                        norm_pix_loss=cfg.norm_pix_loss,
+                        decoder_num_heads=cfg.decoder_num_heads)
     attn_impl = cfg.attn_impl
     if cfg.n_sp > 1 and attn_impl != "flash_sp":
         attn_impl = "flash_sp"  # n_sp opts the attention into sp

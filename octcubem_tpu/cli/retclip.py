@@ -112,6 +112,22 @@ def main(argv=None):
     parser.add_argument("--resume_params_only", action="store_true",
                         help="restore params only (fresh optimizer) — "
                              "works across optimizer-layout changes")
+    # serving parity for the retrieval path (mirrors cli/predict.py's
+    # --quant/--export_aot/--aot for the classifier): frozen AOT
+    # artifacts + int8 PTQ for the COEM tower encoders
+    parser.add_argument("--quant", default="none", choices=["none", "int8"],
+                        help="int8-quantize the tower encoders for "
+                             "evaluation/export (ops/quant.py PTQ; "
+                             "training always runs full precision)")
+    parser.add_argument("--export_aot", default=None,
+                        help="write a frozen retrieval-encoder artifact "
+                             "(weights baked in, honoring --quant) to "
+                             "this path and exit; resume/--model_config "
+                             "decide the weights")
+    parser.add_argument("--aot", default=None,
+                        help="with --evaluate_only: encode with a frozen "
+                             "artifact from --export_aot instead of the "
+                             "live model")
     args = parser.parse_args(argv)
 
     import jax
@@ -318,6 +334,77 @@ def main(argv=None):
             start_epoch = (extra or {}).get("epoch", 0) + 1
             log.info(f"resumed from epoch {start_epoch - 1}")
         state = replicate_state(state, mesh)
+    # -------- retrieval serving path: int8 encoders / AOT artifacts ----
+    def _quant_encoder():
+        """The towers rebuilt with QuantDense + int8-converted params —
+        the same offline PTQ the classifier serving path uses
+        (ops/quant.py; NOTES_ROUND3 int8 section)."""
+        from ..ops.quant import quantize_tree
+
+        if args.model_config:
+            qmodel = registry.create_coem_model(args.model_config,
+                                                dtype=dtype, quant=True)
+        else:
+            qmodel = cls(embed_dim=cfg.embed_dim, vision_cfg=vcfg,
+                         enface_cfg=ecfg, dtype=dtype, quant=True)
+        qparams = jax.jit(
+            lambda p: {"params": quantize_tree(p["params"])})(state.params)
+        return qmodel, qparams
+
+    encode_fn = None
+    if args.export_aot:
+        from ..compat.aot import export_serving_artifact
+
+        if args.quant == "int8":
+            m_exp, p_exp = _quant_encoder()
+        else:
+            m_exp, p_exp = model, state.params
+        n_feat = 3 if three_mod else 2
+        fn = (lambda i, a, b: m_exp.apply(p_exp, i, a, b)[:3]) if three_mod \
+            else (lambda i, e: m_exp.apply(p_exp, i, e)[:2])
+        export_serving_artifact(
+            fn, init_args, args.export_aot,
+            meta={"kind": "coem_retrieval_encoder", "three_mod": three_mod,
+                  "quant": args.quant, "embed_dim": cfg.embed_dim})
+        log.info(f"retrieval encoder artifact written to {args.export_aot} "
+                 f"({n_feat} features, quant={args.quant})")
+        return args.export_aot
+    if args.aot:
+        from ..compat.aot import load_serving_artifact
+
+        aot_fn, aot_meta = load_serving_artifact(args.aot)
+        if bool(aot_meta.get("three_mod")) != three_mod:
+            raise SystemExit(
+                f"--aot artifact is three_mod={aot_meta.get('three_mod')} "
+                f"but this run is three_mod={three_mod}")
+        b_art = aot_meta["in_shapes"][0][0]
+
+        def encode_fn(*xs):
+            # AOT programs are static-shape: repeat-pad a short final
+            # eval batch up to the artifact batch, truncate the features
+            n = xs[0].shape[0]
+            if n > b_art:
+                raise SystemExit(
+                    f"eval batch {n} exceeds the artifact batch {b_art}; "
+                    "re-export with a larger batch or lower --batch_size")
+            if n < b_art:
+                xs = tuple(jnp.concatenate(
+                    [x] + [x[:1]] * (b_art - n)) for x in xs)
+            return tuple(o[:n] for o in aot_fn(*xs))
+
+        log.info(f"encoding with frozen artifact {args.aot} "
+                 f"(quant={aot_meta.get('quant')})")
+    elif args.quant == "int8":
+        qmodel, qparams = _quant_encoder()
+        encode_fn = (jax.jit(lambda i, a, b: qmodel.apply(qparams, i, a, b)[:3])
+                     if three_mod
+                     else jax.jit(lambda i, e: qmodel.apply(qparams, i, e)[:2]))
+        log.info("encoding with live int8-quantized towers")
+    if encode_fn is not None and not cfg.evaluate_only:
+        raise SystemExit("--aot/--quant encoders are evaluation-only "
+                         "(use --evaluate_only); training runs full "
+                         "precision")
+
     if accum > 1:
         step_fn = (clip_engine.make_clip_accum_train_step_3mod(
                        model, tx, accum, partition=partition)
@@ -351,7 +438,7 @@ def main(argv=None):
                 keys.extend(b["__key__"])
         result = clip_engine.evaluate_retrieval(
             model, state.params, batches, three_mod=three_mod,
-            return_features=save)
+            return_features=save, encode_fn=encode_fn)
         metrics, features = result if save else (result, None)
         jsonl.write({"epoch": epoch, **metrics})
         if save:

@@ -70,6 +70,22 @@ def _build_parser():
     parser.add_argument("--init_ckpt", default=None,
                         help="trained retclip run dir (or its ckpt/ dir) "
                              "for tower initialization")
+    # the reference builds its cls models through the same JSON-config
+    # factory as retclip (create_model_and_transforms at
+    # main_retclip_finetune_more_cls_3mod.py:345 via factory.py:232-352)
+    parser.add_argument("--model_config", default=None,
+                        help="COEM JSON config name/path (models/configs) "
+                             "— tower geometry from the config; the "
+                             "--tiny/default geometries are the fallback")
+    # LiT locking, same surface as cli/retclip.py (the reference supports
+    # lock_image in the cls fine-tune too,
+    # main_retclip_finetune_more_cls_3mod.py:364-371)
+    parser.add_argument("--lock_image", action="store_true",
+                        help="freeze the visual trunk except the last "
+                             "--lock_image_unlocked_groups groups (real "
+                             "partition freeze: no frozen backward, no "
+                             "frozen optimizer moments)")
+    parser.add_argument("--lock_image_unlocked_groups", type=int, default=9)
     return parser
 
 
@@ -102,6 +118,61 @@ def _make_model(args, num_outputs, vcfg, ecfg, edim):
         vision_cfg=vcfg, enface_cfg=ecfg)
 
 
+def _build_model(args, num_outputs):
+    """Model + tower geometries: from --model_config via the shared COEM
+    JSON factory (registry.create_coem_model — the same path
+    cli/retclip.py uses, mirroring the reference's
+    create_model_and_transforms build at
+    main_retclip_finetune_more_cls_3mod.py:345), else the flag-driven
+    fallback geometries.  Returns (model, vcfg, ecfg)."""
+    if args.model_config:
+        from ..models import coem, registry
+
+        model = registry.create_coem_model(args.model_config,
+                                           num_classes=num_outputs)
+        is3 = isinstance(model, coem.COEP3TowerClassification)
+        if args.three_mod and not is3:
+            raise SystemExit(
+                f"--model_config {args.model_config} is a 2-tower config "
+                "but the run needs 3 modalities (--three_mod / a "
+                "faf+ir manifest mode)")
+        args.three_mod = is3
+        return model, dict(model.vision_cfg or {}), dict(model.enface_cfg or {})
+    vcfg, ecfg, edim = _model_cfgs(args)
+    return _make_model(args, num_outputs, vcfg, ecfg, edim), vcfg, ecfg
+
+
+def _lock_partition(args, params, vcfg, log):
+    """Optional LiT lock partition for the cls fine-tune: freeze the
+    visual trunk except the last N groups (reference
+    model.lock_image_tower at main_retclip_finetune_more_cls_3mod.py:
+    364-371; group arithmetic in optim.lit_lock_scales)."""
+    if not args.lock_image:
+        return None
+    import jax
+
+    from ..train import optim
+
+    # the cls models nest the contrastive towers under 'clip/'
+    # (COEP2TowerClassification wraps a COEP2Tower submodule), so the
+    # tower prefix is 'clip/visual/' here — matching bare 'visual/'
+    # would silently unlock everything (the round-2/3 no-op bug class)
+    root = params.get("params", params)
+    prefix = "clip/visual/" if "clip" in root else "visual/"
+    assert ("clip" in root) or ("visual" in root), (
+        "no visual tower found to lock in the param tree")
+    scales = optim.lit_lock_scales(params, vcfg.get("depth", 24),
+                                   args.lock_image_unlocked_groups,
+                                   tower_prefix=prefix)
+    n_frozen = sum(int(s == 0) for s in jax.tree.leaves(scales))
+    assert n_frozen > 0 or args.lock_image_unlocked_groups >= \
+        vcfg.get("depth", 24) + 2, "lock matched no parameters"
+    partition = optim.make_partition(jax.tree.map(lambda s: s > 0, scales))
+    log.info(f"LiT lock: {n_frozen} frozen param tensors, "
+             f"{args.lock_image_unlocked_groups} unlocked groups")
+    return partition
+
+
 def main(argv=None):
     args = _build_parser().parse_args(argv)
     from ..core import multihost
@@ -127,8 +198,7 @@ def _main_synthetic(args):
 
     os.makedirs(args.output_dir, exist_ok=True)
     log = get_logger("retclip_cls", os.path.join(args.output_dir, "out.log"))
-    vcfg, ecfg, edim = _model_cfgs(args)
-    model = _make_model(args, args.num_classes, vcfg, ecfg, edim)
+    model, vcfg, ecfg = _build_model(args, args.num_classes)
     frames, osz, esz = vcfg["num_frames"], vcfg["img_size"], ecfg["img_size"]
 
     def sample(i):
@@ -175,12 +245,20 @@ def _main_synthetic(args):
                      if args.three_mod else (b0["image"], b0["enface"]))
         params = model.init(jax.random.key(fold), *init_args,
                             single_modality=sm)
-        tx = optim.build_adamw(params, args.lr,
-                               weight_decay=args.weight_decay)
-        state = TrainState.create(params, tx, jax.random.key(fold + 100))
+        partition = _lock_partition(args, params, vcfg, log)
+        if partition is not None:
+            tr0, _ = partition[0](params)
+            tx = optim.build_adamw(tr0, args.lr,
+                                   weight_decay=args.weight_decay)
+            state = TrainState.create(params, tx, jax.random.key(fold + 100),
+                                      tx_params=tr0)
+        else:
+            tx = optim.build_adamw(params, args.lr,
+                                   weight_decay=args.weight_decay)
+            state = TrainState.create(params, tx, jax.random.key(fold + 100))
         step = clip_engine.make_clip_cls_train_step(
             model, tx, losses.softmax_ce, three_mod=args.three_mod,
-            single_modality=sm)
+            single_modality=sm, partition=partition)
         predict = clip_engine.make_clip_cls_predict_step(
             model, three_mod=args.three_mod, single_modality=sm)
         best_auc, best_epoch = -1.0, -1
@@ -245,7 +323,9 @@ def _main_manifest(args):
     label_keys = [k for k in (args.label_keys or "").split(",") if k]
     assert label_keys, "--label_keys required for manifest runs"
 
-    vcfg, ecfg, edim = _model_cfgs(args)
+    num_outputs = len(label_keys) if task == "regression" else args.num_classes
+    model, vcfg, ecfg = _build_model(args, num_outputs)
+    three_mod = args.three_mod  # a 3-tower --model_config upgrades the run
     frames, osz, esz = vcfg["num_frames"], vcfg["img_size"], ecfg["img_size"]
 
     def build_ds(csv):
@@ -266,8 +346,6 @@ def _main_manifest(args):
              f"labels {label_keys}, mode {mode}, "
              f"{len(ind_sets)} independent test set(s)")
 
-    num_outputs = len(label_keys) if task == "regression" else args.num_classes
-    model = _make_model(args, num_outputs, vcfg, ecfg, edim)
     sm = args.single_modality
     if three_mod and sm == "enface":
         sm = "enface1"
@@ -361,16 +439,27 @@ def _main_manifest(args):
             log.info(f"fold {fold}: towers initialized from "
                      f"{args.init_ckpt} ({copied} tensors; "
                      "classification head fresh)")
-        tx = optim.build_adamw(params, args.lr,
-                               weight_decay=args.weight_decay)
-        state = TrainState.create(params, tx, jax.random.key(fold + 100))
+        partition = _lock_partition(args, params, vcfg, log)
+        if partition is not None:
+            # optimizer over the trainable subtree only: frozen tower
+            # params carry no moments and no backward
+            tr0, _ = partition[0](params)
+            tx = optim.build_adamw(tr0, args.lr,
+                                   weight_decay=args.weight_decay)
+            state = TrainState.create(params, tx, jax.random.key(fold + 100),
+                                      tx_params=tr0)
+        else:
+            tx = optim.build_adamw(params, args.lr,
+                                   weight_decay=args.weight_decay)
+            state = TrainState.create(params, tx, jax.random.key(fold + 100))
         # orbax-restored tower params are committed to one device;
         # re-place on the mesh so they compose with sharded batches
         from ..train.mae_engine import replicate_state
 
         state = replicate_state(state, mesh)
         step = clip_engine.make_clip_cls_train_step(
-            model, tx, criterion, three_mod=three_mod, single_modality=sm)
+            model, tx, criterion, three_mod=three_mod, single_modality=sm,
+            partition=partition)
         predict = clip_engine.make_clip_cls_predict_step(
             model, three_mod=three_mod, single_modality=sm)
 

@@ -54,6 +54,7 @@ class OCTTower(nn.Module):
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
     remat: bool = False
+    quant: bool = False  # int8 serving path (ops/quant.py)
 
     def setup(self):
         self.trunk = VisionTransformerST(
@@ -65,7 +66,8 @@ class OCTTower(nn.Module):
             global_pool=self.global_pool, sep_pos_embed=self.sep_pos_embed,
             cls_embed=self.cls_embed, head_type="aggregate",
             parity=self.parity, capture_cam=self.capture_cam,
-            dtype=self.dtype, attn_impl=self.attn_impl, remat=self.remat)
+            dtype=self.dtype, attn_impl=self.attn_impl, remat=self.remat,
+            quant=self.quant)
 
     def __call__(self, x, deterministic: bool = True):
         return self.trunk(x, deterministic)
@@ -93,6 +95,7 @@ class EnfaceTower(nn.Module):
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
     remat: bool = False
+    quant: bool = False  # int8 serving path (ops/quant.py)
 
     def setup(self):
         self.trunk = VisionTransformer2D(
@@ -101,7 +104,8 @@ class EnfaceTower(nn.Module):
             depth=self.depth, num_heads=self.num_heads,
             drop_path_rate=self.drop_path_rate, global_pool=self.global_pool,
             parity=self.parity, capture_cam=self.capture_cam,
-            dtype=self.dtype, attn_impl=self.attn_impl, remat=self.remat)
+            dtype=self.dtype, attn_impl=self.attn_impl, remat=self.remat,
+            quant=self.quant)
         self.head = nn.Dense(self.out_dim, dtype=self.dtype,
                              kernel_init=nn.initializers.normal(0.02))
         self.mod_heads = [
@@ -122,7 +126,8 @@ def _normalize(x):
     return x / jnp.linalg.norm(x.astype(jnp.float32), axis=-1, keepdims=True)
 
 
-def _build_vision_tower(cfg, out_dim, dtype, attn_impl, remat, capture_cam):
+def _build_vision_tower(cfg, out_dim, dtype, attn_impl, remat, capture_cam,
+                        quant=False):
     """Vision-tower dispatch mirroring _build_vision_tower
     (model.py:139-419): 'tower' names the branch ('vit2d' = ViT_2Dhead
     :353-409, 'vit_3dhead' = ViT_3Dhead :296-352); a list-valued 'layers'
@@ -131,6 +136,12 @@ def _build_vision_tower(cfg, out_dim, dtype, attn_impl, remat, capture_cam):
     (ViT_ST_nodrop, :243-295)."""
     cfg = dict(cfg or {})
     tower = cfg.pop("tower", None)
+    if quant and tower not in (None, "vit2d"):
+        raise ValueError(f"int8 quant is not wired for tower={tower!r} "
+                         "(supported: the OCT ViT-ST and vit2d towers)")
+    if quant and (isinstance(cfg.get("layers"), (list, tuple))
+                  or cfg.get("hipt") or cfg.get("model_name")):
+        raise ValueError("int8 quant is not wired for the aux towers")
     if tower == "vit2d":
         from .vit2d import VisionTransformer2D
 
@@ -138,7 +149,7 @@ def _build_vision_tower(cfg, out_dim, dtype, attn_impl, remat, capture_cam):
         # ViT_2Dhead branch heads the 2D trunk to embed_dim)
         return VisionTransformer2D(num_classes=out_dim, dtype=dtype,
                                    attn_impl=attn_impl, remat=remat,
-                                   **cfg)
+                                   quant=quant, **cfg)
     if tower == "vit_3dhead":
         from .vit_3dhead import VisionTransformer3DHead
 
@@ -170,11 +181,12 @@ def _build_vision_tower(cfg, out_dim, dtype, attn_impl, remat, capture_cam):
         cfg.pop("model_name", None)
         return PerceiverTower(out_dim=out_dim, cfg=cfg, dtype=dtype)
     return OCTTower(out_dim=out_dim, dtype=dtype, attn_impl=attn_impl,
-                    remat=remat, capture_cam=capture_cam, **cfg)
+                    remat=remat, capture_cam=capture_cam, quant=quant, **cfg)
 
 
 
-def _build_enface_tower(cfg, out_dim, dtype, attn_impl, remat, capture_cam):
+def _build_enface_tower(cfg, out_dim, dtype, attn_impl, remat, capture_cam,
+                        quant=False):
     """Enface/'text' tower dispatch: the shipped configs feed IMAGES to a
     multi-head ViT trunk (EnfaceTower), but the reference also supports
     token-input text towers (model.py:440-477): 'hf_model_name' selects a
@@ -182,6 +194,9 @@ def _build_enface_tower(cfg, out_dim, dtype, attn_impl, remat, capture_cam):
     CLIP text transformer.  Both ignore the modality index (single
     projection)."""
     cfg = dict(cfg or {})
+    if quant and (cfg.get("hf_model_name") or cfg.get("hf_config")
+                  or cfg.get("text")):
+        raise ValueError("int8 quant is not wired for text towers")
     if cfg.get("hf_model_name") or cfg.get("hf_config"):
         from .aux_towers import HFTextTower
 
@@ -198,7 +213,8 @@ def _build_enface_tower(cfg, out_dim, dtype, attn_impl, remat, capture_cam):
         return _TextTowerAdapter(tower=TextTransformer(
             output_dim=out_dim, dtype=dtype, **cfg))
     return EnfaceTower(out_dim=out_dim, dtype=dtype, attn_impl=attn_impl,
-                       remat=remat, capture_cam=capture_cam, **cfg)
+                       remat=remat, capture_cam=capture_cam, quant=quant,
+                       **cfg)
 
 
 class _TextTowerAdapter(nn.Module):
@@ -222,14 +238,15 @@ class COEP2Tower(nn.Module):
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
     remat: bool = False
+    quant: bool = False  # int8 serving encoders (ops/quant.py)
 
     def setup(self):
         self.visual = _build_vision_tower(
             self.vision_cfg, self.embed_dim, self.dtype, self.attn_impl,
-            self.remat, self.capture_cam)
+            self.remat, self.capture_cam, quant=self.quant)
         self.enface = _build_enface_tower(
             self.enface_cfg, self.embed_dim, self.dtype, self.attn_impl,
-            self.remat, self.capture_cam)
+            self.remat, self.capture_cam, quant=self.quant)
         self.logit_scale = self.param(
             "logit_scale", lambda k: jnp.asarray(LOGIT_SCALE_INIT))
 
@@ -265,16 +282,17 @@ class COEP3Tower(nn.Module):
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
     remat: bool = False
+    quant: bool = False  # int8 serving encoders (ops/quant.py)
 
     def setup(self):
         self.visual = _build_vision_tower(
             self.vision_cfg, self.embed_dim, self.dtype, self.attn_impl,
-            self.remat, self.capture_cam)
+            self.remat, self.capture_cam, quant=self.quant)
         cfg = dict(self.enface_cfg or {})
         cfg.setdefault("num_mod_head", 2)
         self.enface = _build_enface_tower(
             cfg, self.embed_dim, self.dtype, self.attn_impl,
-            self.remat, self.capture_cam)
+            self.remat, self.capture_cam, quant=self.quant)
         self.logit_scale = self.param(
             "logit_scale", lambda k: jnp.asarray(LOGIT_SCALE_INIT))
         self.logit_scale1 = self.param(

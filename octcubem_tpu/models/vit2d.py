@@ -35,6 +35,9 @@ class VisionTransformer2D(nn.Module):
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
     remat: bool = False
+    # int8 serving path: block projections via QuantDense (ops/quant.py);
+    # params come from ops.quant.quantize_tree on a trained checkpoint
+    quant: bool = False
 
     def setup(self):
         self.patch_embed = PatchEmbed2D(
@@ -50,7 +53,7 @@ class VisionTransformer2D(nn.Module):
             self.depth, self.embed_dim, self.num_heads, self.mlp_ratio,
             self.qkv_bias, self.drop_path_rate, dtype=self.dtype,
             attn_impl=self.attn_impl, parity=self.parity, remat=self.remat,
-            capture_cam=self.capture_cam)
+            quant=self.quant, capture_cam=self.capture_cam)
         # global_pool uses fc_norm and DELETES norm; cls path keeps norm
         # only (models_vit.py:22-33 `del self.norm`) — checkpoints contain
         # exactly one of the two

@@ -395,17 +395,26 @@ def retrieval_metrics_dup_corrected(img_feat, enf_feat, group_ids) -> dict:
 
 
 def evaluate_retrieval(model, params, batches, three_mod: bool = False,
-                       return_features: bool = False):
+                       return_features: bool = False, encode_fn=None):
     """Concat features over a val loader and compute retrieval metrics
     (train_retclip.py:243-403).  For 3-mod, metrics for all 3 pairs
     (train_retclip_3modalities.py:371-392).  return_features=True also
     returns the concatenated feature bank — the payload the offline
     retrieval evaluator consumes (retrieval_results_{epoch}.pkl,
-    train_retclip.py:373-395)."""
+    train_retclip.py:373-395).
+
+    encode_fn: optional encoder override with weights baked in —
+    (img, enf) -> (img_feat, enf_feat) for 2-tower, (img, e1, e2) ->
+    three features for 3-mod.  This is how a frozen AOT artifact or an
+    int8-quantized encoder (compat/aot.py / --quant int8 on
+    cli/retclip.py) serves the retrieval path; model/params are unused
+    then."""
     feats: dict[str, list] = {}
 
     if three_mod:
-        fwd = jax.jit(lambda p, i, a, b: model.apply(p, i, a, b)[:3])
+        fwd = (jax.jit(lambda p, i, a, b: model.apply(p, i, a, b)[:3])
+               if encode_fn is None else (lambda p, i, a, b:
+                                          encode_fn(i, a, b)))
         for batch in batches:
             img, e1, e2 = fwd(params, batch["image"], batch["enface1"],
                               batch["enface2"])
@@ -421,7 +430,8 @@ def evaluate_retrieval(model, params, batches, three_mod: bool = False,
                                      "enface1_to_enface2", "enface2_to_enface1"))
         return (out, f) if return_features else out
 
-    fwd = jax.jit(lambda p, i, e: model.apply(p, i, e)[:2])
+    fwd = (jax.jit(lambda p, i, e: model.apply(p, i, e)[:2])
+           if encode_fn is None else (lambda p, i, e: encode_fn(i, e)))
     for batch in batches:
         img, enf = fwd(params, batch["image"], batch["enface"])
         feats.setdefault("image", []).append(np.asarray(img))

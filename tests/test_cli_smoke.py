@@ -685,3 +685,129 @@ def test_predict_cli_aot_export_and_serve(tmp_path):
         assert rl[0] == ra[0]
         np.testing.assert_allclose([float(v) for v in rl[1:]],
                                    [float(v) for v in ra[1:]], atol=2e-4)
+
+
+def test_retclip_finetune_model_config_and_lock(tmp_path):
+    """Classification fine-tune built through the same JSON-config
+    factory as retclip (reference create_model_and_transforms at
+    main_retclip_finetune_more_cls_3mod.py:345) with a LiT-locked
+    visual tower (:364-371): the manifest e2e flow passes, and the
+    frozen tower params are STRUCTURALLY absent from the optimizer
+    state (real partition freeze, not zero-scaling)."""
+    import json
+
+    import jax
+
+    from octcubem_tpu.cli import retclip_finetune
+    from octcubem_tpu.core.checkpoint import restore_raw
+
+    rng = np.random.default_rng(31)
+    manifest, parent = _write_ga_fixture(tmp_path, rng, "gacfg", 20)
+
+    ft_out = str(tmp_path / "ftcfg")
+    summary = retclip_finetune.main(
+        ["--manifest_csv", manifest, "--parent_dir", parent,
+         "--model_config", "vitl16_octcube_ir_tiny_test",
+         "--lock_image", "--lock_image_unlocked_groups", "1",
+         "--label_keys", "ga_area",
+         "--multimodal_type", "9",
+         "--k_folds", "2", "--epochs", "1", "--batch_size", "8",
+         "--output_dir", ft_out])
+    assert summary["label_keys"] == ["ga_area"]
+    assert summary["best_val"][0][0] is not None
+
+    with open(os.path.join(ft_out, "results.jsonl")) as f:
+        rows = [json.loads(l) for l in f]
+    assert all(np.isfinite(r["train_loss"]) for r in rows)
+
+    # structural freeze: the optimizer state (count + mu + nu over the
+    # TRAINABLE subtree) covers strictly fewer tensors than params —
+    # with unlocked_groups=1 only the tower head group + everything
+    # outside clip/visual trains
+    raw, _ = restore_raw(os.path.join(ft_out, "ckpt_fold0"))
+    n_params = len(jax.tree.leaves(raw["params"]))
+    n_opt = len(jax.tree.leaves(raw["opt_state"]))
+    assert n_opt < 2 * n_params, (n_opt, n_params)
+
+    # the tiny config's geometry (32px towers) drove the data pipeline:
+    # args.json-equivalent — the out.log records the lock
+    with open(os.path.join(ft_out, "out.log")) as f:
+        logtext = f.read()
+    assert "LiT lock" in logtext and "frozen param tensors" in logtext
+
+
+def test_retclip_finetune_model_config_mode_mismatch(tmp_path):
+    """A 2-tower --model_config with a 3-modality manifest mode fails
+    loudly at startup instead of training a mismatched model."""
+    import pytest
+
+    from octcubem_tpu.cli import retclip_finetune
+
+    rng = np.random.default_rng(32)
+    manifest, parent = _write_ga_fixture(tmp_path, rng, "gamm", 8)
+    with pytest.raises(SystemExit, match="2-tower config"):
+        retclip_finetune.main(
+            ["--manifest_csv", manifest, "--parent_dir", parent,
+             "--model_config", "vitl16_octcube_ir_tiny_test",
+             "--label_keys", "ga_area",
+             "--multimodal_type", "12",  # oct3d_paired_faf_ir_cls
+             "--k_folds", "2", "--epochs", "1", "--batch_size", "4",
+             "--output_dir", str(tmp_path / "ftmm")])
+
+
+def test_retclip_cli_aot_and_int8_retrieval_serving(tmp_path):
+    """Serving parity for the retrieval path (mirrors predict/serve's
+    AOT + int8 story): train a tiny retclip run, export a frozen
+    encoder artifact, and evaluate with (a) the artifact and (b) live
+    int8 towers — AOT metrics are identical to the live model; int8
+    R@k stays within tolerance on the fixture set."""
+    import json
+
+    from octcubem_tpu.cli import retclip
+
+    out = str(tmp_path / "rc")
+    common = ["--preset", "octcube_ir",
+              "--model_config", "vitl16_octcube_ir_tiny_test",
+              "--synthetic", "--synthetic_n", "48", "--batch_size", "8"]
+    retclip.main(common + ["--epochs", "1", "--output_dir", out])
+
+    def last_metrics(d):
+        with open(os.path.join(d, "results.jsonl")) as f:
+            return [json.loads(l) for l in f][-1]
+
+    # live fp eval of the trained weights (resume from the run above)
+    live_out = str(tmp_path / "ev_live")
+    retclip.main(common + ["--output_dir", out, "--resume", "latest",
+                           "--resume_params_only", "--evaluate_only"])
+    live = last_metrics(out)
+
+    # export the frozen encoder artifact and evaluate through it
+    art = str(tmp_path / "enc.octaot")
+    ret = retclip.main(common + ["--output_dir", out, "--resume", "latest",
+                                 "--resume_params_only",
+                                 "--export_aot", art])
+    assert ret == art and os.path.getsize(art) > 0
+    aot_out = str(tmp_path / "ev_aot")
+    os.makedirs(aot_out)
+    retclip.main(common + ["--output_dir", out, "--resume", "latest",
+                           "--resume_params_only", "--evaluate_only",
+                           "--aot", art])
+    aot = last_metrics(out)
+    for k, v in live.items():
+        if isinstance(v, float) and "R@" in k:
+            assert abs(aot[k] - v) < 1e-6, (k, aot[k], v)
+
+    # live int8 towers: retrieval quality within tolerance of fp
+    retclip.main(common + ["--output_dir", out, "--resume", "latest",
+                           "--resume_params_only", "--evaluate_only",
+                           "--quant", "int8"])
+    q = last_metrics(out)
+    for k, v in live.items():
+        if isinstance(v, float) and "R@" in k:
+            assert abs(q[k] - v) <= 0.25, (k, q[k], v)
+
+    # training with a serving encoder is refused
+    import pytest
+    with pytest.raises(SystemExit, match="evaluation-only"):
+        retclip.main(common + ["--output_dir", out, "--epochs", "1",
+                               "--quant", "int8"])

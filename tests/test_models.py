@@ -144,3 +144,33 @@ def test_mae3d_remat_norm_equivalence():
     assert np.asarray(l0) == np.asarray(l1)
     jax.tree.map(lambda a, b: np.testing.assert_allclose(
         np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7), g0, g1)
+
+
+def test_mae3d_decoder_head_repartition_same_params():
+    """The TPU-native decoder preset (vitl_mae_tpu_native:
+    decoder_num_heads=4 -> head_dim 128 instead of the reference's 16 ->
+    head_dim 32, models_mae_joint_res_flash_attn.py:807-843) only
+    re-partitions the attention projections: the param TREE (paths and
+    shapes) is identical across head counts, so checkpoints stay
+    layout-compatible, and FLOPs are unchanged.  Both geometries train
+    (finite loss + grads)."""
+    m_par = _tiny_mae(decoder_num_heads=4)   # "parity-like" count
+    m_nat = _tiny_mae(decoder_num_heads=1)   # repartitioned (hd 16)
+    x = jax.random.normal(jax.random.key(0), (2, 6, 32, 32, 1))
+    rngs = {"params": jax.random.key(1), "masking": jax.random.key(2)}
+    p_par = m_par.init(rngs, x, mask_ratio=0.75)
+    p_nat = m_nat.init(rngs, x, mask_ratio=0.75)
+    flat_par = jax.tree_util.tree_flatten_with_path(p_par)[0]
+    flat_nat = jax.tree_util.tree_flatten_with_path(p_nat)[0]
+    assert [(k, v.shape) for k, v in flat_par] == \
+           [(k, v.shape) for k, v in flat_nat]
+
+    for m, p in ((m_par, p_par), (m_nat, p_nat)):
+        def loss_fn(p_):
+            out = m.apply(p_, x, mask_ratio=0.75,
+                          rngs={"masking": jax.random.key(3)})
+            return out[0]
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        assert np.isfinite(float(loss))
+        assert all(np.isfinite(np.asarray(g)).all()
+                   for g in jax.tree.leaves(grads))
