@@ -8,6 +8,13 @@ ABLATE=attn      attention replaced by identity (out = v): measures
 ABLATE=fwdonly   forward + loss only, no grads/optimizer
 ABLATE=noopt     fwd+bwd but no optimizer update (grads computed, params
                  returned unchanged)
+ABLATE=nogather  decoder unshuffle gather replaced by identity (encode's
+                 shape-changing keep-gather untouched): bounds the win
+                 available from fusing the unshuffle into the decoder's
+                 first read (VERDICT r3 item 4)
+ABLATE=noln      every LayerNorm replaced by identity: upper-bounds the
+                 win from folding pre-attention LNs into kernel
+                 prologues (VERDICT r3 item 4)
 
 Usage: ABLATE=attn python scripts/bench_ablate.py
 """
@@ -53,17 +60,48 @@ if ABLATE == "attn":
     _layers.multi_head_attention_packed = _identity_packed
     _layers.multi_head_attention_qkv = _identity_qkv
 
+if ABLATE == "noln":
+    import flax.linen as _nn
+
+    class _IdentityLN(_nn.Module):
+        """Timing stand-in: same call signature, no normalize work."""
+        epsilon: float = 1e-6
+        dtype: object = None
+        use_bias: bool = True
+        use_scale: bool = True
+
+        @_nn.compact
+        def __call__(self, x):
+            return x if self.dtype is None else x.astype(self.dtype)
+
+    _nn.LayerNorm = _IdentityLN
+
 from octcubem_tpu.models import mae3d
 from octcubem_tpu.train import optim, schedules
+
+if ABLATE == "nogather":
+    _real_gather = mae3d.gather_tokens
+
+    def _skip_unshuffle(x, ids):
+        # unshuffle gathers are full-length permutations (ids spans all
+        # rows); keep-gathers change the row count and stay real
+        if ids.shape[1] == x.shape[1]:
+            return x
+        return _real_gather(x, ids)
+
+    mae3d.gather_tokens = _skip_unshuffle
 from octcubem_tpu.train.train_state import TrainState
 from octcubem_tpu.train.mae_engine import make_mae_train_step
 
 
 def main():
+    # BENCH_DEC_HEADS: ablate the TPU-native decoder geometry too
+    # (16 = parity hd-32, 4 = vitl_mae_tpu_native hd-128)
     model = mae3d.flash_attn_mae_vit_large_patch16(
         num_frames=FRAMES, t_patch_size=TPATCH, pred_t_dim=FRAMES,
         input_size=IMG, high_res_input_size=512, in_chans=1,
-        dtype=jnp.bfloat16, attn_impl="auto")
+        dtype=jnp.bfloat16, attn_impl="auto",
+        decoder_num_heads=int(os.environ.get("BENCH_DEC_HEADS", "16")))
     x = jax.random.normal(jax.random.key(0), (BATCH, FRAMES, IMG, IMG, 1),
                           jnp.float32)
     params = jax.jit(lambda k, x: model.init(

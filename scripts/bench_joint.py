@@ -45,6 +45,10 @@ REMAT = os.environ.get("BJ_REMAT", "0") == "1"
 ACCUM2D = int(os.environ.get("BJ_ACCUM2D", "1"))
 REMAT2D = (os.environ.get("BJ_REMAT2D", "1") == "1" and not REMAT
            and ACCUM2D == 1)
+# BJ_DEC_HEADS: decoder head partitioning (16 = reference parity hd-32,
+# 4 = vitl_mae_tpu_native hd-128 — same FLOPs/params, see bench.py and
+# NOTES_ROUND4.md decoder-geometry ablation)
+DEC_HEADS = int(os.environ.get("BJ_DEC_HEADS", "16"))
 
 
 def main():
@@ -55,7 +59,8 @@ def main():
 
     kw = dict(num_frames=FRAMES, t_patch_size=TPATCH, pred_t_dim=FRAMES,
               input_size=IMG, high_res_input_size=IMG2D, in_chans=1,
-              dtype=jnp.bfloat16, attn_impl="auto")
+              dtype=jnp.bfloat16, attn_impl="auto",
+              decoder_num_heads=DEC_HEADS)
     model = mae3d.flash_attn_mae_vit_large_patch16(**kw, remat=REMAT)
     model2d = (mae3d.flash_attn_mae_vit_large_patch16(**kw, remat=True)
                if REMAT2D else None)
@@ -123,7 +128,7 @@ def main():
         "mfu": round(mfu, 4),
         "step_flops_T": round(step_flops / 1e12, 2),
         "premask_in_step": PREMASK, "remat": REMAT, "remat_2d": REMAT2D,
-        "accum_2d": ACCUM2D,
+        "accum_2d": ACCUM2D, "decoder_num_heads": DEC_HEADS,
     }), flush=True)
 
 

@@ -29,6 +29,9 @@ D = int(os.environ.get("KB_D", "32"))
 if os.environ.get("KB_BWDQ"):
     import octcubem_tpu.ops.flash_attention as _fa
     _fa.BWD_BLOCK_TARGET = int(os.environ["KB_BWDQ"])
+if os.environ.get("KB_FWDQ"):
+    import octcubem_tpu.ops.flash_attention as _fa
+    _fa.FWD_BLOCK_TARGET = int(os.environ["KB_FWDQ"])
 
 key = jax.random.key(0)
 q = jax.random.normal(key, (B, H, N, D), jnp.bfloat16)
