@@ -100,6 +100,9 @@ def main(argv=None):
                              "(reference oph_vis_util CAM rendering)")
     args = parser.parse_args(argv)
 
+    from ..core.runtime import setup_compilation_cache
+    setup_compilation_cache()
+
     import jax
     import jax.numpy as jnp
 

@@ -56,6 +56,9 @@ def main(argv=None):
     parser.add_argument("--num_heads", type=int, default=None)
     args = parser.parse_args(argv)
 
+    from ..core.runtime import setup_compilation_cache
+    setup_compilation_cache()
+
     import jax
     import jax.numpy as jnp
 

@@ -191,6 +191,9 @@ def main(argv=None, started_event=None, server_box=None):
     parser.add_argument("--num_heads", type=int, default=None)
     args = parser.parse_args(argv)
 
+    from ..core.runtime import setup_compilation_cache
+    setup_compilation_cache()
+
     from ..data.transforms import create_3d_transforms
     from ..utils.logging import get_logger
 

@@ -69,8 +69,12 @@ def maybe_initialize() -> dict:
 
 
 def announce() -> dict:
-    """maybe_initialize + one status line when a cluster formed — the
-    shared CLI-startup block (every training CLI calls this)."""
+    """maybe_initialize + persistent-compile-cache + one status line when
+    a cluster formed — the shared CLI-startup block (every training CLI
+    calls this)."""
+    from .runtime import setup_compilation_cache
+
+    setup_compilation_cache()
     info = maybe_initialize()
     if info["process_count"] > 1:
         print(f"[multihost] process {info['process_index']}/"

@@ -31,20 +31,35 @@ def is_master() -> bool:
 
 def get_logger(name: str = "octcubem", log_file: str | None = None,
                level=logging.INFO) -> logging.Logger:
+    """Named logger with console + optional file output.
+
+    Python loggers are process-global singletons, so a second main() in
+    the same process (CLI called as a library, back-to-back test runs)
+    gets the SAME logger object — if it asks for a different log_file,
+    the file handler is retargeted to the new path instead of silently
+    appending to the previous run's out.log.  Calls without log_file
+    never strip an existing file handler.
+    """
     logger = logging.getLogger(name)
-    if logger.handlers:
-        return logger
-    logger.setLevel(level)
     fmt = logging.Formatter("[%(asctime)s] %(levelname)s %(message)s",
                             "%Y-%m-%d %H:%M:%S")
-    sh = logging.StreamHandler()
-    sh.setFormatter(fmt)
-    logger.addHandler(sh)
+    if not logger.handlers:
+        logger.setLevel(level)
+        sh = logging.StreamHandler()
+        sh.setFormatter(fmt)
+        logger.addHandler(sh)
     if log_file and is_master():
-        os.makedirs(os.path.dirname(log_file) or ".", exist_ok=True)
-        fh = logging.FileHandler(log_file)
-        fh.setFormatter(fmt)
-        logger.addHandler(fh)
+        path = os.path.abspath(log_file)
+        file_handlers = [h for h in logger.handlers
+                         if isinstance(h, logging.FileHandler)]
+        if not any(h.baseFilename == path for h in file_handlers):
+            for h in file_handlers:
+                logger.removeHandler(h)
+                h.close()
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            fh = logging.FileHandler(path)
+            fh.setFormatter(fmt)
+            logger.addHandler(fh)
     return logger
 
 

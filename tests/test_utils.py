@@ -208,3 +208,33 @@ def test_wandb_writer_stub_and_absent(tmp_path, monkeypatch):
     assert calls["logged"] == [({"loss": 0.5}, 3)]
     w.finish()
     assert calls["finished"] == 1 and not w.active
+
+
+def test_get_logger_retargets_file_handler(tmp_path):
+    """A second main() in the same process asking for a different
+    out.log must get a file handler on the NEW path (the round-4 soak's
+    full-suite run caught the old early-return writing fold logs into a
+    previous test's deleted tmp dir)."""
+    import logging as pylogging
+
+    from octcubem_tpu.utils.logging import get_logger
+
+    name = "test_retarget_logger"
+    a, b = str(tmp_path / "a" / "out.log"), str(tmp_path / "b" / "out.log")
+    log = get_logger(name, a)
+    log.info("first run")
+    # same path again: no duplicate handlers
+    n_handlers = len(get_logger(name, a).handlers)
+    assert len(get_logger(name, a).handlers) == n_handlers
+    log = get_logger(name, b)
+    log.info("second run")
+    # file handler moved to b; console handler kept; a not appended to
+    fhs = [h for h in log.handlers if isinstance(h, pylogging.FileHandler)]
+    assert [h.baseFilename for h in fhs] == [b]
+    with open(b) as f:
+        assert "second run" in f.read()
+    with open(a) as f:
+        assert "second run" not in f.read()
+    # a call WITHOUT log_file keeps the existing file handler
+    assert any(isinstance(h, pylogging.FileHandler)
+               for h in get_logger(name).handlers)
