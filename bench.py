@@ -277,13 +277,16 @@ def main():
     # the rest of the measured story (same chip, this round's scripts —
     # see NOTES_ROUND4.md for the runs): the joint 3D+2D headline
     # pretrain step (scripts/bench_joint.py, accum_2d=4 production
-    # config) and the serving point (scripts/bench_infer.py, batch 1)
+    # config; joint_native_* = same config with the TPU-native decoder,
+    # BJ_DEC_HEADS=4) and the serving point (scripts/bench_infer.py,
+    # batch 1)
     out.update({
         "joint_step_ms": 759.3, "joint_mfu": 0.340,
+        "joint_native_step_ms": 585.2, "joint_native_mfu": 0.4417,
         "serving_vol_s": 25.1, "serving_mfu": 0.527,
-        "extras_note": "joint_*/serving_* measured by scripts/"
-                       "bench_joint.py and scripts/bench_infer.py on "
-                       "this chip (NOTES_ROUND3/4); re-run those "
+        "extras_note": "joint_*/joint_native_*/serving_* measured by "
+                       "scripts/bench_joint.py and scripts/bench_infer"
+                       ".py on this chip (NOTES_ROUND3/4); re-run those "
                        "scripts to refresh",
     })
     print(json.dumps(out))
