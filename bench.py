@@ -42,6 +42,14 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import os
 
 BATCH = int(os.environ.get("BENCH_BATCH", "4"))
+BATCH_SET = "BENCH_BATCH" in os.environ
+# Throughput-optimal batch differs by decoder geometry (measured,
+# NOTES_ROUND4.md): parity hd-32 peaks at batch 4 (batch 8 slightly
+# worse); the TPU-native hd-128 decoder peaks at batch 8 (30.34 vol/s /
+# 48.0% MFU vs 29.46 / 46.7% at batch 4).  Default run: each geometry
+# at its own optimum; BENCH_BATCH pins both.
+NATIVE_BATCH = BATCH if BATCH_SET else 8
+PARITY_BATCH = BATCH if BATCH_SET else 4
 # KNOWN-FAULTING: BENCH_BATCH=6 deterministically crashes the TPU worker
 # on this toolchain (shape-specific backend miscompile in the full-step
 # program; kernels/fwd/bwd/noopt all pass in isolation — see
@@ -133,9 +141,12 @@ def a100_component_est_vols_per_sec() -> float:
     return 1.0 / t
 
 
-def measure(dec_heads: int):
-    """One full-train-step measurement at the given decoder head count.
+def measure(dec_heads: int, batch: int | None = None):
+    """One full-train-step measurement at the given decoder head count
+    and batch size (default: the BENCH_BATCH env / 4).
     Returns (vol/s, step_ms, mfu)."""
+    if batch is None:
+        batch = BATCH
     from octcubem_tpu.models import mae3d
     from octcubem_tpu.train import optim, schedules
     from octcubem_tpu.train.train_state import TrainState
@@ -150,7 +161,7 @@ def measure(dec_heads: int):
         remat_norm=os.environ.get("BENCH_REMAT_NORM", "0") == "1",
         decoder_num_heads=dec_heads,
     )
-    x = jax.random.normal(jax.random.key(0), (BATCH, FRAMES, IMG, IMG, 1),
+    x = jax.random.normal(jax.random.key(0), (batch, FRAMES, IMG, IMG, 1),
                           jnp.float32)
     params = jax.jit(
         lambda k, x: model.init({"params": k, "masking": k}, x,
@@ -182,7 +193,7 @@ def measure(dec_heads: int):
         mesh = meshlib.make_mesh()
         n_dev = mesh.shape[meshlib.DATA_AXIS]
         x = jax.random.normal(jax.random.key(0),
-                              (BATCH * n_dev, FRAMES, IMG, IMG, 1),
+                              (batch * n_dev, FRAMES, IMG, IMG, 1),
                               jnp.float32)
         x = shard_batch(x, mesh)
         state = replicate_state(state, mesh)
@@ -208,7 +219,7 @@ def measure(dec_heads: int):
     del state, x  # free HBM before a possible second geometry
 
     step_time = dt / STEPS
-    vols_per_sec = BATCH / step_time
+    vols_per_sec = batch / step_time
     flops_per_vol = train_step_flops_per_volume()
     mfu = flops_per_vol * vols_per_sec / V5E_PEAK_BF16
     return vols_per_sec, step_time * 1000, mfu
@@ -222,16 +233,20 @@ def main():
     if DEC_HEADS_ENV is not None:
         # explicit geometry: single measurement, that geometry headline
         dec = int(DEC_HEADS_ENV)
+        batch_used = BATCH
         vol_s, step_ms, mfu = measure(dec)
         parity = (vol_s, step_ms, mfu) if dec == 16 else None
+        parity_batch = BATCH
     else:
         # default: the framework's TPU-native headline config (the
         # vitl_mae_tpu_native preset, decoder head_dim 128) as `value`,
         # reference-parity geometry (head_dim 32) riding along — both
-        # measured fresh in this run
+        # measured fresh in this run, each at its optimal batch
         dec = 4
-        vol_s, step_ms, mfu = measure(4)
-        parity = measure(16)
+        batch_used = NATIVE_BATCH
+        vol_s, step_ms, mfu = measure(4, NATIVE_BATCH)
+        parity = measure(16, PARITY_BATCH)
+        parity_batch = PARITY_BATCH
 
     out = {
         "metric": "MAE ViT-L 3D pretrain throughput (60x256x256, mask 0.9)",
@@ -239,7 +254,7 @@ def main():
         "unit": "volumes/sec/chip",
         "vs_baseline": round(vol_s / a100_est, 3),
         "step_time_ms": round(step_ms, 1),
-        "batch": BATCH,
+        "batch": batch_used,
         "decoder_num_heads": dec,
         "remat": REMAT,
         "mfu": round(mfu, 4),
@@ -273,6 +288,7 @@ def main():
             "parity_step_ms": round(parity[1], 1),
             "parity_mfu": round(parity[2], 4),
             "parity_vs_baseline": round(parity[0] / a100_est, 3),
+            "parity_batch": parity_batch,
         })
     # the rest of the measured story (same chip, this round's scripts —
     # see NOTES_ROUND4.md for the runs): the joint 3D+2D headline
