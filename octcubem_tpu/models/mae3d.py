@@ -305,18 +305,24 @@ class MaskedAutoencoderViT3D(nn.Module):
 # ---- constructor registry ----
 
 def mae_vit_base_patch16(**kw) -> MaskedAutoencoderViT3D:
+    kw.setdefault("num_heads", 12)
     return MaskedAutoencoderViT3D(patch_size=16, embed_dim=768, depth=12,
-                                  num_heads=12, **kw)
+                                  **kw)
 
 
 def mae_vit_large_patch16(**kw) -> MaskedAutoencoderViT3D:
+    # num_heads (encoder) is overridable like decoder_num_heads: head
+    # re-partitioning keeps the param tree identical (Wqkv is [D, 3D]
+    # regardless of the head slicing)
+    kw.setdefault("num_heads", 16)
     return MaskedAutoencoderViT3D(patch_size=16, embed_dim=1024, depth=24,
-                                  num_heads=16, **kw)
+                                  **kw)
 
 
 flash_attn_mae_vit_large_patch16 = mae_vit_large_patch16
 
 
 def mae_vit_huge_patch14(**kw) -> MaskedAutoencoderViT3D:
+    kw.setdefault("num_heads", 16)
     return MaskedAutoencoderViT3D(patch_size=14, embed_dim=1280, depth=32,
-                                  num_heads=16, **kw)
+                                  **kw)

@@ -212,13 +212,17 @@ class VisionTransformerST(nn.Module):
 # ---- constructor registry (reference models_*.__dict__[name] pattern) ----
 
 def vit_base_patch16(**kw) -> VisionTransformerST:
-    return VisionTransformerST(patch_size=16, embed_dim=768, depth=12,
-                               num_heads=12, **kw)
+    kw.setdefault("num_heads", 12)
+    return VisionTransformerST(patch_size=16, embed_dim=768, depth=12, **kw)
 
 
 def vit_large_patch16(**kw) -> VisionTransformerST:
-    return VisionTransformerST(patch_size=16, embed_dim=1024, depth=24,
-                               num_heads=16, **kw)
+    # num_heads is overridable: attention params are [D, 3D]/[D, D]
+    # regardless of head count, so a re-partitioned head slicing (e.g.
+    # 8 heads -> head_dim 128, full MXU contraction lanes) keeps the
+    # param tree identical (test_vit_st_head_repartition_same_params)
+    kw.setdefault("num_heads", 16)
+    return VisionTransformerST(patch_size=16, embed_dim=1024, depth=24, **kw)
 
 
 # the reference ships this under a separate name with use_flash_attn=True;
@@ -228,5 +232,5 @@ flash_attn_vit_large_patch16 = vit_large_patch16
 
 def vit_huge_patch14(**kw) -> VisionTransformerST:
     # patch 14 per the name (models_vit_st_flash_attn_nodrop.py:395-404)
-    return VisionTransformerST(patch_size=14, embed_dim=1280, depth=32,
-                               num_heads=16, **kw)
+    kw.setdefault("num_heads", 16)
+    return VisionTransformerST(patch_size=14, embed_dim=1280, depth=32, **kw)

@@ -101,6 +101,7 @@ def main():
         num_frames=FRAMES, t_patch_size=TPATCH, pred_t_dim=FRAMES,
         input_size=IMG, high_res_input_size=512, in_chans=1,
         dtype=jnp.bfloat16, attn_impl="auto",
+        num_heads=int(os.environ.get("BENCH_ENC_HEADS", "16")),
         decoder_num_heads=int(os.environ.get("BENCH_DEC_HEADS", "16")))
     x = jax.random.normal(jax.random.key(0), (BATCH, FRAMES, IMG, IMG, 1),
                           jnp.float32)

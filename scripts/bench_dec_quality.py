@@ -54,7 +54,7 @@ def make_fixture(n, seed=0):
     return np.asarray(x)[..., None]
 
 
-def run_config(dec_heads: int, data: np.ndarray):
+def run_config(dec_heads: int, data: np.ndarray, enc_heads: int = 16):
     from octcubem_tpu.models import mae3d
     from octcubem_tpu.train import optim, schedules
     from octcubem_tpu.train.train_state import TrainState
@@ -64,7 +64,7 @@ def run_config(dec_heads: int, data: np.ndarray):
         num_frames=FRAMES, t_patch_size=3, pred_t_dim=FRAMES,
         input_size=IMG, high_res_input_size=512, in_chans=1,
         dtype=jnp.bfloat16, attn_impl="auto",
-        decoder_num_heads=dec_heads)
+        num_heads=enc_heads, decoder_num_heads=dec_heads)
     x0 = jnp.asarray(data[:BATCH])
     params = jax.jit(
         lambda k, x: model.init({"params": k, "masking": k}, x,
@@ -93,11 +93,11 @@ def run_config(dec_heads: int, data: np.ndarray):
         state, mean_loss = run_seg(state, s)
         ml = float(mean_loss)  # host sync per segment
         curve.append({"step": (s + 1) * SEG, "loss": ml})
-        print(f"dec_heads={dec_heads} step {(s+1)*SEG}: loss {ml:.4f}",
-              flush=True)
+        print(f"enc_heads={enc_heads} dec_heads={dec_heads} "
+              f"step {(s+1)*SEG}: loss {ml:.4f}", flush=True)
         assert np.isfinite(ml), "non-finite loss"
     wall = time.time() - t0
-    return {"dec_heads": dec_heads, "curve": curve,
+    return {"dec_heads": dec_heads, "enc_heads": enc_heads, "curve": curve,
             "wall_s": round(wall, 1),
             "step_ms": round(1000 * wall / STEPS, 1)}
 
@@ -105,15 +105,23 @@ def run_config(dec_heads: int, data: np.ndarray):
 def main():
     data = make_fixture(N_VOLS)
     out = []
-    for h in (int(v) for v in os.environ.get("DQ_HEADS", "16,4").split(",")):
-        out.append(run_config(h, data))
+    # DQ_HEADS entries: "dec" or "enc:dec" head counts per config —
+    # e.g. DQ_HEADS=16:16,8:4 compares the full parity geometry against
+    # the full TPU-native one (encoder hd 128, decoder hd 128)
+    for spec in os.environ.get("DQ_HEADS", "16,4").split(","):
+        if ":" in spec:
+            e, h = (int(v) for v in spec.split(":"))
+        else:
+            e, h = 16, int(spec)
+        out.append(run_config(h, data, enc_heads=e))
     path = os.environ.get("DQ_OUT", "/tmp/dec_quality.jsonl")
     with open(path, "w") as f:
         for r in out:
             f.write(json.dumps(r) + "\n")
     # summary: final-quartile mean loss per config + relative gap
-    finals = {r["dec_heads"]: float(np.mean([c["loss"] for c in
-                                             r["curve"][-len(r["curve"])//4:]]))
+    finals = {f"{r['enc_heads']}:{r['dec_heads']}":
+              float(np.mean([c["loss"] for c in
+                             r["curve"][-len(r["curve"])//4:]]))
               for r in out}
     print(json.dumps({"final_quartile_loss": finals}))
 

@@ -34,6 +34,11 @@ BATCHES = [int(b) for b in os.environ.get("IB_BATCHES", "1,4,8").split(",")]
 # ops.quant.quantize_tree, s8xs8->s32 on the MXU (2x bf16 peak);
 # attention stays bf16 flash (ops/quant.py)
 QUANT = os.environ.get("IB_QUANT", "0") == "1"
+# IB_NUM_HEADS: encoder head partitioning (16 = reference parity,
+# head_dim 64; 8 = TPU-native head_dim 128 — attention is ~57% of the
+# classifier's fwd FLOPs at N=4097, so lane occupancy matters here the
+# way it did for the MAE decoder).  Param tree identical across counts.
+NUM_HEADS = int(os.environ.get("IB_NUM_HEADS", "16"))
 V5E_PEAK_BF16 = 197e12
 
 
@@ -51,7 +56,8 @@ def main():
 
     kw = dict(num_frames=FRAMES, t_patch_size=TPATCH, img_size=IMG,
               in_chans=1, num_classes=16, head_type="dropout",
-              global_pool=True, dtype=jnp.bfloat16, attn_impl="auto")
+              global_pool=True, dtype=jnp.bfloat16, attn_impl="auto",
+              num_heads=NUM_HEADS)
     model = vit_st.flash_attn_vit_large_patch16(**kw, quant=QUANT)
     fp_model = (vit_st.flash_attn_vit_large_patch16(**kw) if QUANT else model)
 
@@ -85,6 +91,7 @@ def main():
             "metric": "ViT-L classifier inference (48x256x256, "
                       + ("int8 PTQ + bf16 flash)" if QUANT else "bf16 flash)"),
             "quant": QUANT,
+            "num_heads": NUM_HEADS,
             "batch": batch,
             "step_time_ms": round(step_ms, 2),
             "value": round(vps, 2),

@@ -49,6 +49,10 @@ REMAT2D = (os.environ.get("BJ_REMAT2D", "1") == "1" and not REMAT
 # 4 = vitl_mae_tpu_native hd-128 — same FLOPs/params, see bench.py and
 # NOTES_ROUND4.md decoder-geometry ablation)
 DEC_HEADS = int(os.environ.get("BJ_DEC_HEADS", "16"))
+# BJ_ENC_HEADS: encoder head partitioning (16 = parity hd-64, 8 =
+# TPU-native hd-128; the 2D 512^2 branch runs the encoder over ~13k
+# visible tokens, so encoder lane occupancy matters in the joint step)
+ENC_HEADS = int(os.environ.get("BJ_ENC_HEADS", "16"))
 
 
 def main():
@@ -60,7 +64,7 @@ def main():
     kw = dict(num_frames=FRAMES, t_patch_size=TPATCH, pred_t_dim=FRAMES,
               input_size=IMG, high_res_input_size=IMG2D, in_chans=1,
               dtype=jnp.bfloat16, attn_impl="auto",
-              decoder_num_heads=DEC_HEADS)
+              num_heads=ENC_HEADS, decoder_num_heads=DEC_HEADS)
     model = mae3d.flash_attn_mae_vit_large_patch16(**kw, remat=REMAT)
     model2d = (mae3d.flash_attn_mae_vit_large_patch16(**kw, remat=True)
                if REMAT2D else None)
@@ -129,6 +133,7 @@ def main():
         "step_flops_T": round(step_flops / 1e12, 2),
         "premask_in_step": PREMASK, "remat": REMAT, "remat_2d": REMAT2D,
         "accum_2d": ACCUM2D, "decoder_num_heads": DEC_HEADS,
+        "encoder_num_heads": ENC_HEADS,
     }), flush=True)
 
 

@@ -252,3 +252,45 @@ def test_nomax_large_logits():
     ref = naive_attention(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=5e-5, rtol=5e-5)
+
+
+@pytest.mark.parametrize("n,h", [(257, 2), (200, 2)])
+def test_packed_kernel_d128_matches_naive(n, h):
+    """head_dim 128 — the TPU-native geometry (vitl_mae_tpu_native
+    decoder 4x128; encoder re-partition 8x128): G = 128/d = 1, one head
+    per packed-kernel lane strip.  fwd+grads vs naive at both the cls
+    (n%128==1) and phantom-cls shapes, through BOTH packed entry points
+    (separate q/k/v and fused-qkv minor-offset)."""
+    from octcubem_tpu.ops.flash_attention import (
+        flash_attention_packed, flash_attention_packed_qkv)
+
+    b, d = 1, 128
+    q, k, v = _rand_qkv(jax.random.key(57), b, h, n, d)
+
+    def packed(x):
+        return x.transpose(0, 2, 1, 3).reshape(b, n, h * d)
+
+    def unpack(x):
+        return x.reshape(b, n, h, d).transpose(0, 2, 1, 3)
+
+    ref = naive_attention(q, k, v)
+    out = unpack(flash_attention_packed(packed(q), packed(k), packed(v), h))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-5, rtol=5e-5)
+    qkv = jnp.concatenate([packed(q), packed(k), packed(v)], axis=-1)
+    out_f = unpack(flash_attention_packed_qkv(qkv, h))
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(ref),
+                               atol=5e-5, rtol=5e-5)
+
+    def loss_packed(q, k, v):
+        return (flash_attention_packed(packed(q), packed(k), packed(v), h)
+                .astype(jnp.float32) ** 2).sum()
+
+    def loss_naive(q, k, v):
+        return (naive_attention(q, k, v).astype(jnp.float32) ** 2).sum()
+
+    gf = jax.grad(loss_packed, argnums=(0, 1, 2))(q, k, v)
+    gn = jax.grad(loss_naive, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gn):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=5e-4, rtol=5e-4)

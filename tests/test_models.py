@@ -174,3 +174,38 @@ def test_mae3d_decoder_head_repartition_same_params():
         assert np.isfinite(float(loss))
         assert all(np.isfinite(np.asarray(g)).all()
                    for g in jax.tree.leaves(grads))
+
+
+def test_vit_st_head_repartition_same_params():
+    """Encoder head re-partitioning (e.g. vit_large_patch16 at
+    num_heads=8 -> head_dim 128 instead of the reference's 16 -> 64,
+    models_vit_st_flash_attn_nodrop.py:353-404): the attention params
+    are [D, 3D]/[D, D] regardless of head count, so the param tree is
+    identical and checkpoints stay layout-compatible; FLOPs unchanged.
+    Both head counts forward + backprop finitely."""
+    m16 = _tiny_vit(num_heads=2)   # head_dim 16 ("parity-like")
+    m8 = _tiny_vit(num_heads=1)    # re-partitioned (head_dim 32)
+    x = jax.random.normal(jax.random.key(0), (2, 6, 32, 32, 1))
+    p16 = m16.init(jax.random.key(1), x)
+    p8 = m8.init(jax.random.key(1), x)
+    flat16 = jax.tree_util.tree_flatten_with_path(p16)[0]
+    flat8 = jax.tree_util.tree_flatten_with_path(p8)[0]
+    assert [(k, v.shape) for k, v in flat16] == \
+           [(k, v.shape) for k, v in flat8]
+    for m, p in ((m16, p16), (m8, p8)):
+        loss, grads = jax.value_and_grad(
+            lambda p_: (m.apply(p_, x) ** 2).sum())(p)
+        assert np.isfinite(float(loss))
+        assert all(np.isfinite(np.asarray(g)).all()
+                   for g in jax.tree.leaves(grads))
+
+
+def test_factory_num_heads_override():
+    """The constructor-registry factories accept a num_heads override
+    (TPU-native head re-partitioning) without disturbing their defaults."""
+    kw = dict(num_frames=6, t_patch_size=3)
+    assert vit_st.vit_large_patch16(**kw).num_heads == 16
+    assert vit_st.vit_large_patch16(num_heads=8, **kw).num_heads == 8
+    assert mae3d.mae_vit_large_patch16(**kw).num_heads == 16
+    assert mae3d.mae_vit_large_patch16(
+        num_heads=8, decoder_num_heads=4, **kw).num_heads == 8
