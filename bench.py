@@ -73,6 +73,14 @@ REMAT = os.environ.get("BENCH_REMAT", "0") == "1"
 # Default (unset): measure BOTH — TPU-native (vitl_mae_tpu_native
 # preset) as the headline, parity riding along as parity_* fields.
 DEC_HEADS_ENV = os.environ.get("BENCH_DEC_HEADS")
+# BENCH_ENC_HEADS: encoder head partitioning (16 = reference parity,
+# head_dim 64).  In the 3D step the encoder only sees 513 visible
+# tokens (~4% of attention FLOPs), so this is an ablation knob, not a
+# headline lever — the encoder repartition matters on the serving path
+# (N=4097) and the joint 2D branch (N~13k), measured by
+# scripts/bench_infer.py IB_NUM_HEADS / scripts/bench_joint.py
+# BJ_ENC_HEADS.
+ENC_HEADS = int(os.environ.get("BENCH_ENC_HEADS", "16"))
 # BENCH_MESH=1: shard the batch over ALL local devices (batch scales with
 # device count; vol/s reported per chip). Off by default to keep the
 # proven single-chip graph/compile-cache.
@@ -159,7 +167,7 @@ def measure(dec_heads: int, batch: int | None = None):
         input_size=IMG, high_res_input_size=512, in_chans=1,
         dtype=jnp.bfloat16, attn_impl="auto", remat=REMAT,
         remat_norm=os.environ.get("BENCH_REMAT_NORM", "0") == "1",
-        decoder_num_heads=dec_heads,
+        num_heads=ENC_HEADS, decoder_num_heads=dec_heads,
     )
     x = jax.random.normal(jax.random.key(0), (batch, FRAMES, IMG, IMG, 1),
                           jnp.float32)
@@ -256,6 +264,7 @@ def main():
         "step_time_ms": round(step_ms, 1),
         "batch": batch_used,
         "decoder_num_heads": dec,
+        "encoder_num_heads": ENC_HEADS,
         "remat": REMAT,
         "mfu": round(mfu, 4),
         "flops_per_volume_T": round(flops_per_vol / 1e12, 3),
@@ -299,11 +308,18 @@ def main():
     out.update({
         "joint_step_ms": 759.3, "joint_mfu": 0.340,
         "joint_native_step_ms": 585.2, "joint_native_mfu": 0.4417,
+        "joint_enc8_step_ms": 558.0, "joint_enc8_mfu": 0.4632,
         "serving_vol_s": 25.1, "serving_mfu": 0.527,
-        "extras_note": "joint_*/joint_native_*/serving_* measured by "
-                       "scripts/bench_joint.py and scripts/bench_infer"
-                       ".py on this chip (NOTES_ROUND3/4); re-run those "
-                       "scripts to refresh",
+        # encoder ALSO re-partitioned (vitl_mae_tpu_native_enc8 preset,
+        # num_heads=8 -> head_dim 128): only for encoders pretrained at
+        # that geometry — learning-neutral on the memorization ablation
+        # (docs/perf/enc_quality_mem600.jsonl)
+        "serving_enc8_vol_s": 33.25, "serving_enc8_mfu": 0.6973,
+        "extras_note": "joint_*/joint_native_*/joint_enc8_*/serving_* "
+                       "measured by scripts/bench_joint.py and "
+                       "scripts/bench_infer.py on this chip "
+                       "(NOTES_ROUND3/4); re-run those scripts to "
+                       "refresh",
     })
     print(json.dumps(out))
 

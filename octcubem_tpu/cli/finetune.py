@@ -66,7 +66,10 @@ def build_model(cfg, dtype):
         kw.update(num_frames=cfg.num_frames, t_patch_size=cfg.t_patch_size,
                   img_size=cfg.input_size, in_chans=cfg.in_chans,
                   global_pool=cfg.global_pool, sep_pos_embed=cfg.sep_pos_embed,
-                  cls_embed=cfg.cls_embed)
+                  cls_embed=cfg.cls_embed,
+                  # must match the pretrain encoder geometry (16 =
+                  # reference ckpts, 8 = TPU-native-pretrained encoders)
+                  num_heads=getattr(cfg, "num_heads", 16))
         if getattr(cfg, "variable_joint", False):
             # joint dual-res model: second 512² patch embed + pos embed
             # stored at the high-res grid (models_vit_st_joint_flash_attn

@@ -30,6 +30,7 @@ def build_model_and_params(args):
         num_frames=args.num_frames, t_patch_size=args.t_patch_size,
         img_size=args.input_size, in_chans=1, num_classes=args.nb_classes,
         head_type="dropout", global_pool=args.global_pool,
+        num_heads=getattr(args, "num_heads", 16),
         sep_pos_embed=args.sep_pos_embed, cls_embed=args.cls_embed,
         drop_path_rate=args.drop_path, dtype=dtype, attn_impl=args.attn_impl,
         capture_cam=bool(getattr(args, "saliency_dir", None)),
@@ -88,6 +89,10 @@ def main(argv=None):
     parser.add_argument("--num_frames", type=int, default=48)
     parser.add_argument("--input_size", type=int, default=256)
     parser.add_argument("--nb_classes", type=int, default=16)
+    parser.add_argument("--num_heads", type=int, default=16,
+                        help="encoder heads — must match the checkpoint's "
+                             "pretrain geometry (16 = reference ckpts, 8 = "
+                             "TPU-native-pretrained encoders)")
     parser.add_argument("--drop_path", type=float, default=0.2)
     parser.add_argument("--global_pool", action="store_true", default=True)
     parser.add_argument("--sep_pos_embed", action="store_true", default=True)

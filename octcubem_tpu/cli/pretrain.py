@@ -78,6 +78,12 @@ def main(argv=None):
                              "(head_dim 32), 4 = TPU-native (head_dim "
                              "128, 1.8x step throughput at the same "
                              "FLOPs — the vitl_mae_tpu_native preset)")
+    parser.add_argument("--num_heads", type=int, default=None,
+                        help="encoder heads: 16 = reference parity "
+                             "(head_dim 64), 8 = TPU-native (head_dim "
+                             "128).  UNLIKE the decoder this changes the "
+                             "shipped encoder's function — finetune/"
+                             "infer/serve must use the same value")
     parser.add_argument("--output_dir", default=None)
     parser.add_argument("--resume", default=None,
                         help="'latest' or a prior run dir / ckpt dir")
@@ -133,6 +139,7 @@ def main(argv=None):
         ("accum_iter", args.accum_iter),
         ("accum_2d", args.accum_2d),
         ("decoder_num_heads", args.decoder_num_heads),
+        ("num_heads", args.num_heads),
         ("opt_chain", args.opt_chain)) if v is not None}
     cfg = load_config(MAEPretrainConfig, args.preset, **overrides)
     os.makedirs(cfg.output_dir, exist_ok=True)
@@ -152,6 +159,7 @@ def main(argv=None):
                         t_patch_size=cfg.t_patch_size,
                         pred_t_dim=cfg.pred_t_dim,
                         norm_pix_loss=cfg.norm_pix_loss,
+                        num_heads=cfg.num_heads,
                         decoder_num_heads=cfg.decoder_num_heads)
     attn_impl = cfg.attn_impl
     if cfg.n_sp > 1 and attn_impl != "flash_sp":

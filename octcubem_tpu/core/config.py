@@ -44,6 +44,15 @@ class MAEPretrainConfig:
     # pretraining scaffold discarded after pretraining, and the
     # loss-trajectory ablation shows matching learning curves.
     decoder_num_heads: int = 16
+    # Encoder head count (16 = reference parity, head_dim 64).  Unlike
+    # the decoder, the encoder IS the shipped artifact: re-partitioning
+    # to 8 heads (head_dim 128) changes the function the checkpoint
+    # computes, so every downstream consumer (finetune / infer / serve)
+    # must build with the same num_heads.  Param tree is identical
+    # either way (Wqkv is [D, 3D] regardless of head slicing).  Measured
+    # value: classifier serving 52.7% -> 69.7% MFU (NOTES_ROUND4.md
+    # encoder-repartition section).
+    num_heads: int = 16
     batch_size: int = 1
     batch_size_2d: int = 64
     accum_iter: int = 1
@@ -110,6 +119,12 @@ class FinetuneConfig:
     t_patch_size: int = 3
     input_size: int = 256
     in_chans: int = 1
+    # encoder head partitioning — MUST match the pretrain geometry the
+    # finetune_ckpt was trained with (16 = reference checkpoints; 8 =
+    # encoders pretrained TPU-native with MAEPretrainConfig.num_heads=8).
+    # The param tree is identical across values, so a mismatch loads
+    # cleanly but computes the wrong function.
+    num_heads: int = 16
     batch_size: int = 1
     epochs: int = 50
     warmup_epochs: int = 5
@@ -237,6 +252,17 @@ PRESETS: dict[str, Any] = {
     # decoder-geometry ablation; quality curves match hd-32)
     "vitl_mae_tpu_native": MAEPretrainConfig(accum_2d=4,
                                              decoder_num_heads=4),
+    # FULL TPU-native pretrain: encoder ALSO re-partitioned (8 heads ->
+    # head_dim 128).  Unlike vitl_mae_tpu_native this changes the shipped
+    # encoder's function (checkpoint tensors stay reference-shaped, but
+    # downstream finetune/infer/serve must build with num_heads=8 — the
+    # CLIs all expose the knob).  Learning-neutral on the memorization
+    # ablation (final-quartile delta 0.14%, docs/perf/enc_quality_mem600
+    # .jsonl); measured: serving 52.7% -> 69.7% MFU, joint step 585 ->
+    # 558 ms (NOTES_ROUND4.md encoder-repartition section).
+    "vitl_mae_tpu_native_enc8": MAEPretrainConfig(accum_2d=4,
+                                                  decoder_num_heads=4,
+                                                  num_heads=8),
     # high-res joint pretrain with the 20k-token attention sharded 4-way
     # over a composed (data, sp) mesh — the case sequence parallelism was
     # built for (SURVEY §5.7 optional headroom)

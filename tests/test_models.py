@@ -209,3 +209,25 @@ def test_factory_num_heads_override():
     assert mae3d.mae_vit_large_patch16(**kw).num_heads == 16
     assert mae3d.mae_vit_large_patch16(
         num_heads=8, decoder_num_heads=4, **kw).num_heads == 8
+
+
+def test_config_num_heads_reaches_models():
+    """The encoder head-partitioning knob flows from the typed configs
+    into the constructed models (pretrain cfg.num_heads; finetune
+    build_model) — a TPU-native-pretrained encoder (num_heads=8) must be
+    reconstructable by every downstream consumer."""
+    import jax.numpy as jnp
+
+    from octcubem_tpu.core.config import (FinetuneConfig, MAEPretrainConfig,
+                                          load_config)
+    from octcubem_tpu.cli.finetune import build_model
+
+    cfg = load_config(MAEPretrainConfig, "vitl_joint_pretrain", num_heads=8)
+    assert cfg.num_heads == 8 and cfg.decoder_num_heads == 16
+
+    fcfg = load_config(FinetuneConfig, "octcube_multitask", num_heads=8)
+    model = build_model(fcfg, jnp.float32)
+    assert model.num_heads == 8
+    # default stays reference parity
+    assert build_model(load_config(FinetuneConfig, "octcube_multitask"),
+                       jnp.float32).num_heads == 16
