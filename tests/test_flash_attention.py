@@ -294,3 +294,46 @@ def test_packed_kernel_d128_matches_naive(n, h):
     for a, b_ in zip(gf, gn):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    atol=5e-4, rtol=5e-4)
+
+
+@pytest.mark.parametrize("n,h", [(257, 2), (200, 1)])
+def test_packed_kernel_d256_matches_naive(n, h):
+    """head_dim 256 (> the 128 MXU contraction depth): the packed path
+    accepts d % 128 == 0 with G=1 — the contraction splits into two
+    128-deep accumulations while the score-output volume halves again vs
+    hd-128 (the kernels are output-rate bound, NOTES_ROUND2.md).  This is
+    the decoder_num_heads=2 candidate geometry; fwd+grads vs naive at the
+    cls and phantom-cls shapes through both packed entry points."""
+    from octcubem_tpu.ops.flash_attention import (
+        flash_attention_packed, flash_attention_packed_qkv)
+
+    b, d = 1, 256
+    q, k, v = _rand_qkv(jax.random.key(58), b, h, n, d)
+
+    def packed(x):
+        return x.transpose(0, 2, 1, 3).reshape(b, n, h * d)
+
+    def unpack(x):
+        return x.reshape(b, n, h, d).transpose(0, 2, 1, 3)
+
+    ref = naive_attention(q, k, v)
+    out = unpack(flash_attention_packed(packed(q), packed(k), packed(v), h))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-5, rtol=5e-5)
+    qkv = jnp.concatenate([packed(q), packed(k), packed(v)], axis=-1)
+    out_f = unpack(flash_attention_packed_qkv(qkv, h))
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(ref),
+                               atol=5e-5, rtol=5e-5)
+
+    def loss_packed(q, k, v):
+        return (flash_attention_packed(packed(q), packed(k), packed(v), h)
+                .astype(jnp.float32) ** 2).sum()
+
+    def loss_naive(q, k, v):
+        return (naive_attention(q, k, v).astype(jnp.float32) ** 2).sum()
+
+    gf = jax.grad(loss_packed, argnums=(0, 1, 2))(q, k, v)
+    gn = jax.grad(loss_naive, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gn):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=5e-4, rtol=5e-4)
