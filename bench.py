@@ -315,6 +315,7 @@ def main():
         # that geometry — learning-neutral on the memorization ablation
         # (docs/perf/enc_quality_mem600.jsonl)
         "serving_enc8_vol_s": 33.25, "serving_enc8_mfu": 0.6973,
+        "serving_enc8_int8_vol_s": 36.4,
         "native_enc8_vol_s": 30.867, "native_enc8_mfu": 0.4888,
         "extras_note": "joint_*/joint_native_*/joint_enc8_*/serving_* "
                        "measured by scripts/bench_joint.py and "
