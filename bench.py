@@ -285,11 +285,13 @@ def main():
         # (head_dim 128, identical FLOPs/param count): measured 46.7%
         # MFU.  The decoder is a pretraining scaffold discarded after
         # pretraining; loss trajectories match (scripts/bench_dec_quality).
-        "geometry_note": "headline = vitl_mae_tpu_native preset "
-                         "(decoder_num_heads=4, head_dim 128); parity_* "
-                         "= reference decoder geometry (16 heads, "
-                         "head_dim 32, MXU output-rate bound ~28% "
-                         "ceiling)",
+        "geometry_note": (
+            "headline = vitl_mae_tpu_native preset (decoder_num_heads=4, "
+            "head_dim 128); parity_* = reference decoder geometry (16 "
+            "heads, head_dim 32, MXU output-rate bound ~28% ceiling)"
+            if DEC_HEADS_ENV is None else
+            f"headline measured at the BENCH_DEC_HEADS={dec} geometry "
+            "(explicitly pinned; no second geometry run)"),
     }
     if parity is not None:
         out.update({
@@ -299,13 +301,14 @@ def main():
             "parity_vs_baseline": round(parity[0] / a100_est, 3),
             "parity_batch": parity_batch,
         })
-    # the rest of the measured story (same chip, this round's scripts —
-    # see NOTES_ROUND4.md for the runs): the joint 3D+2D headline
-    # pretrain step (scripts/bench_joint.py, accum_2d=4 production
-    # config; joint_native_* = same config with the TPU-native decoder,
-    # BJ_DEC_HEADS=4) and the serving point (scripts/bench_infer.py,
-    # batch 1)
+    # the rest of the measured story — RECORDED results from this
+    # round's dedicated scripts (scripts/bench_joint.py on the full
+    # 3D+2D production config, scripts/bench_infer.py on the serving
+    # path, all on this chip, NOTES_ROUND3/4) — these fields are NOT
+    # re-measured by this invocation; `value`/`parity_*` above are the
+    # fresh measurements.  Re-run those scripts to refresh.
     out.update({
+        "recorded_extras_not_remeasured": True,
         "joint_step_ms": 759.3, "joint_mfu": 0.340,
         "joint_native_step_ms": 585.2, "joint_native_mfu": 0.4417,
         "joint_enc8_step_ms": 558.0, "joint_enc8_mfu": 0.4632,
@@ -317,11 +320,12 @@ def main():
         "serving_enc8_vol_s": 33.25, "serving_enc8_mfu": 0.6973,
         "serving_enc8_int8_vol_s": 36.4,
         "native_enc8_vol_s": 30.867, "native_enc8_mfu": 0.4888,
-        "extras_note": "joint_*/joint_native_*/joint_enc8_*/serving_* "
-                       "measured by scripts/bench_joint.py and "
-                       "scripts/bench_infer.py on this chip "
-                       "(NOTES_ROUND3/4); re-run those scripts to "
-                       "refresh",
+        "extras_note": "joint_*/joint_native_*/joint_enc8_*/serving_*/"
+                       "native_enc8_* are RECORDED from this round's "
+                       "scripts/bench_joint.py and scripts/bench_infer"
+                       ".py runs on this chip (NOTES_ROUND3/4), not "
+                       "re-measured per invocation; re-run those "
+                       "scripts to refresh",
     })
     print(json.dumps(out))
 

@@ -69,7 +69,7 @@ def build_model(cfg, dtype):
                   cls_embed=cfg.cls_embed,
                   # must match the pretrain encoder geometry (16 =
                   # reference ckpts, 8 = TPU-native-pretrained encoders)
-                  num_heads=getattr(cfg, "num_heads", 16))
+                  num_heads=cfg.num_heads)
         if getattr(cfg, "variable_joint", False):
             # joint dual-res model: second 512² patch embed + pos embed
             # stored at the high-res grid (models_vit_st_joint_flash_attn
@@ -242,6 +242,13 @@ def main(argv=None):
                         help="SLIViT cross-modality data (main_…diffmodal.py "
                              "--slivit_dataset): ct3d = nodulemnist3d.npz at "
                              "--data_dir; us3d = EchoNet root at --data_dir")
+    parser.add_argument("--num_heads", type=int, default=None,
+                        help="encoder heads — must match the pretrain "
+                             "geometry of finetune_ckpt (16 = reference "
+                             "checkpoints, 8 = vitl_mae_tpu_native_enc8 "
+                             "pretrains); the param tree is identical, so "
+                             "a mismatch loads cleanly but computes the "
+                             "wrong function")
     parser.add_argument("--tiny", action="store_true")
     args = parser.parse_args(argv)
 
@@ -261,6 +268,7 @@ def main(argv=None):
         ("epochs", args.epochs), ("batch_size", args.batch_size),
         ("output_dir", args.output_dir), ("k_folds", args.k_folds),
         ("variable_joint", args.variable_joint),
+        ("num_heads", args.num_heads),
         ("slivit_dataset", args.slivit_dataset))
         if v is not None}
     cfg = load_config(FinetuneConfig, args.preset, **overrides)

@@ -30,7 +30,7 @@ def build_model_and_params(args):
         num_frames=args.num_frames, t_patch_size=args.t_patch_size,
         img_size=args.input_size, in_chans=1, num_classes=args.nb_classes,
         head_type="dropout", global_pool=args.global_pool,
-        num_heads=getattr(args, "num_heads", 16),
+        num_heads=args.num_heads,
         sep_pos_embed=args.sep_pos_embed, cls_embed=args.cls_embed,
         drop_path_rate=args.drop_path, dtype=dtype, attn_impl=args.attn_impl,
         capture_cam=bool(getattr(args, "saliency_dir", None)),

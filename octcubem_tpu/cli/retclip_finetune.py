@@ -199,7 +199,10 @@ def _main_synthetic(args):
     os.makedirs(args.output_dir, exist_ok=True)
     log = get_logger("retclip_cls", os.path.join(args.output_dir, "out.log"))
     model, vcfg, ecfg = _build_model(args, args.num_classes)
-    frames, osz, esz = vcfg["num_frames"], vcfg["img_size"], ecfg["img_size"]
+    # 2D-vision configs (retfound2d/retfound3dhead) carry no num_frames;
+    # default 60 like cli/retclip.py's reader
+    frames, osz, esz = (vcfg.get("num_frames", 60), vcfg["img_size"],
+                        ecfg["img_size"])
 
     def sample(i):
         rng = np.random.default_rng((11, i))
@@ -326,7 +329,10 @@ def _main_manifest(args):
     num_outputs = len(label_keys) if task == "regression" else args.num_classes
     model, vcfg, ecfg = _build_model(args, num_outputs)
     three_mod = args.three_mod  # a 3-tower --model_config upgrades the run
-    frames, osz, esz = vcfg["num_frames"], vcfg["img_size"], ecfg["img_size"]
+    # 2D-vision configs (retfound2d/retfound3dhead) carry no num_frames;
+    # default 60 like cli/retclip.py's reader
+    frames, osz, esz = (vcfg.get("num_frames", 60), vcfg["img_size"],
+                        ecfg["img_size"])
 
     def build_ds(csv):
         return OCTFAFIRClsDataset(

@@ -128,6 +128,11 @@ def make_handler(predict, meta, val_transform, lock):
             except (TypeError, ValueError):
                 self._json(400, {"error": "bad Content-Length"})
                 return
+            if n <= 0:
+                # rfile.read(-1) would buffer until EOF — the unbounded
+                # read the cap exists to prevent
+                self._json(400, {"error": "missing/invalid Content-Length"})
+                return
             if n > MAX_BODY_BYTES:
                 # don't buffer an arbitrary-size upload into host RAM:
                 # the largest legitimate body is one fp64 raw volume

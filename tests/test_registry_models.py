@@ -77,3 +77,19 @@ def test_registry_name_constructs_and_forwards(family, name):
     if isinstance(out, tuple):
         out = out[0]
     assert out.shape == (1, 4) and np.isfinite(float(out.sum()))
+
+
+def test_retclip_finetune_2d_config_geometry_defaults():
+    """The cls fine-tune must accept COEM configs whose vision tower is
+    2D (vitl16_retfound2d_* / retfound3dhead_* carry no num_frames key):
+    the geometry read defaults num_frames to 60 like cli/retclip.py —
+    regression for the KeyError the round-4 review found."""
+    from octcubem_tpu.cli import retclip_finetune as rf
+
+    args = rf._build_parser().parse_args(
+        ["--model_config", "vitl16_retfound2d_ir"])
+    model, vcfg, ecfg = rf._build_model(args, 2)
+    assert "num_frames" not in vcfg          # the regression trigger
+    frames, osz, esz = (vcfg.get("num_frames", 60), vcfg["img_size"],
+                        ecfg["img_size"])    # the CLI's geometry read
+    assert frames == 60 and osz > 0 and esz > 0

@@ -104,6 +104,16 @@ def test_serve_aot_roundtrip(tmp_path):
             assert False, "expected 413"
         except urllib.error.HTTPError as e:
             assert e.code == 413
+        # negative Content-Length must NOT bypass the cap (rfile.read(-1)
+        # would buffer until EOF — the unbounded read the cap prevents)
+        req = urllib.request.Request(
+            base + "/predict", data=b"x",
+            headers={"Content-Length": "-1"}, method="POST")
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
         try:
             urllib.request.urlopen(base + "/nope", timeout=30)
             assert False, "expected 404"
