@@ -19,6 +19,24 @@ import time
 import numpy as np
 
 
+# model-geometry fields that change the FUNCTION the params compute while
+# leaving the param TREE identical (or cleanly interpolatable) — a resume
+# under different values loads without error and silently trains a
+# different model, so mismatches must fail loudly
+_GEOMETRY_FIELDS = ("model", "num_heads", "decoder_num_heads",
+                    "input_size", "high_res_input_size", "num_frames",
+                    "t_patch_size", "pred_t_dim")
+
+
+def _check_resume_geometry(cfg, prev_args_json: str) -> None:
+    """Validate geometry-critical config fields against a prior run's
+    args.json before resuming from it (core/config.check_resume_geometry
+    with the MAE field list)."""
+    from ..core.config import check_resume_geometry
+
+    check_resume_geometry(cfg, prev_args_json, _GEOMETRY_FIELDS)
+
+
 class SyntheticOCT3D:
     """Synthetic volumes; frame 'paths' reuse SyntheticOCT2D's names so
     the SPL frame-loss write-back path is exercised end to end."""
@@ -144,6 +162,16 @@ def main(argv=None):
     cfg = load_config(MAEPretrainConfig, args.preset, **overrides)
     os.makedirs(cfg.output_dir, exist_ok=True)
     log = get_logger("pretrain", os.path.join(cfg.output_dir, "out.log"))
+    # geometry guard BEFORE args.json is overwritten: the param tree is
+    # identical across head partitionings (and across several geometry
+    # fields), so resuming under different flags would load cleanly and
+    # silently train a DIFFERENT function — fail loudly instead
+    if cfg.resume or cfg.resume_type == "resume_latest":
+        prev_dir = (cfg.output_dir if cfg.resume in (None, "", "latest")
+                    else cfg.resume)
+        if os.path.basename(os.path.normpath(prev_dir)) == "ckpt":
+            prev_dir = os.path.dirname(os.path.normpath(prev_dir))
+        _check_resume_geometry(cfg, os.path.join(prev_dir, "args.json"))
     with open(os.path.join(cfg.output_dir, "args.json"), "w") as f:
         f.write(to_json(cfg))
 

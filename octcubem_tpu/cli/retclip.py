@@ -160,6 +160,16 @@ def main(argv=None):
     cfg = load_config(RetClipConfig, args.preset, **overrides)
     os.makedirs(cfg.output_dir, exist_ok=True)
     log = get_logger("retclip", os.path.join(cfg.output_dir, "out.log"))
+    # tower-geometry guard BEFORE params.txt is overwritten: --resume
+    # latest restores from THIS dir, and a head-repartitioned (or
+    # otherwise re-shaped) tower would load cleanly and silently train a
+    # different function (core/config.check_resume_geometry)
+    if cfg.resume == "latest" and not args.model_config:
+        from ..core.config import check_resume_geometry
+
+        check_resume_geometry(
+            cfg, os.path.join(cfg.output_dir, "params.txt"),
+            ("model", "embed_dim", "three_mod", "vision_cfg", "enface_cfg"))
     with open(os.path.join(cfg.output_dir, "params.txt"), "w") as f:
         f.write(to_json(cfg))
 

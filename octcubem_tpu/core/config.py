@@ -306,3 +306,27 @@ def load_config(cls, path_or_preset: str, **overrides):
 
 def to_json(cfg) -> str:
     return json.dumps(dataclasses.asdict(cfg), indent=2, default=str)
+
+
+def check_resume_geometry(cfg, prev_args_json: str, fields) -> None:
+    """Fail loudly when a resume's model-geometry fields differ from the
+    prior run's recorded config: across head re-partitionings (and
+    several other geometry fields) the param TREE is identical, so the
+    restore succeeds and silently trains a DIFFERENT function.  Missing/
+    unreadable file or absent fields (older runs) skip silently."""
+    try:
+        with open(prev_args_json) as f:
+            prev = json.load(f)
+    except (OSError, ValueError):
+        return
+    diffs = [(k, prev[k], getattr(cfg, k)) for k in fields
+             if k in prev and prev[k] != getattr(cfg, k)]
+    if diffs:
+        detail = "; ".join(f"{k}: checkpoint run={a!r}, current={b!r}"
+                           for k, a, b in diffs)
+        raise SystemExit(
+            f"--resume geometry mismatch vs {prev_args_json}: {detail}. "
+            "The param tree is identical across these fields, so the "
+            "restore would succeed and silently train a DIFFERENT "
+            "function (e.g. an enc8-pretrained encoder resumed at 16 "
+            "heads).  Pass the matching preset/flags or start a new run.")

@@ -1,0 +1,72 @@
+"""Resume geometry guard: resuming a pretrain under different head
+partitioning (or any function-changing geometry field) must fail loudly
+— the param tree is identical across head counts, so the restore itself
+would succeed and silently train a different function."""
+
+import json
+import os
+
+import pytest
+
+from octcubem_tpu.cli.pretrain import _check_resume_geometry
+from octcubem_tpu.core.config import MAEPretrainConfig, load_config
+
+
+def _write_args(tmp_path, **fields):
+    import dataclasses
+
+    cfg = load_config(MAEPretrainConfig, "vitl_joint_pretrain", **fields)
+    p = os.path.join(tmp_path, "args.json")
+    with open(p, "w") as f:
+        json.dump(dataclasses.asdict(cfg), f)
+    return p
+
+
+def test_resume_geometry_mismatch_fails_loudly(tmp_path):
+    prev = _write_args(str(tmp_path), num_heads=8, decoder_num_heads=4)
+    cfg = load_config(MAEPretrainConfig, "vitl_joint_pretrain")  # 16/16
+    with pytest.raises(SystemExit) as e:
+        _check_resume_geometry(cfg, prev)
+    msg = str(e.value)
+    assert "num_heads" in msg and "decoder_num_heads" in msg
+
+
+def test_resume_geometry_match_passes(tmp_path):
+    prev = _write_args(str(tmp_path), num_heads=8, decoder_num_heads=4)
+    cfg = load_config(MAEPretrainConfig, "vitl_mae_tpu_native_enc8")
+    _check_resume_geometry(cfg, prev)  # no raise
+
+
+def test_resume_geometry_tolerates_missing_file_and_old_fields(tmp_path):
+    cfg = load_config(MAEPretrainConfig, "vitl_joint_pretrain")
+    # no args.json at all (pre-existing ckpt dirs)
+    _check_resume_geometry(cfg, os.path.join(str(tmp_path), "missing.json"))
+    # pre-geometry-era args.json (fields absent): skip, don't crash
+    p = os.path.join(str(tmp_path), "args.json")
+    with open(p, "w") as f:
+        json.dump({"epochs": 50, "batch_size": 1}, f)
+    _check_resume_geometry(cfg, p)
+    # benign (non-geometry) differences don't block
+    prev = _write_args(str(tmp_path), accum_2d=1, epochs=3)
+    _check_resume_geometry(cfg, prev)
+
+
+def test_retclip_resume_tower_geometry_guard(tmp_path):
+    """The retclip guard compares whole tower-cfg dicts (vision_cfg/
+    enface_cfg) — a head-repartitioned tower must be refused on
+    --resume latest."""
+    import dataclasses
+
+    from octcubem_tpu.core.config import (RetClipConfig,
+                                          check_resume_geometry)
+
+    fields = ("model", "embed_dim", "three_mod", "vision_cfg", "enface_cfg")
+    prev_cfg = RetClipConfig()
+    prev_cfg.vision_cfg["num_heads"] = 8
+    p = os.path.join(str(tmp_path), "params.txt")
+    with open(p, "w") as f:
+        json.dump(dataclasses.asdict(prev_cfg), f)
+    with pytest.raises(SystemExit) as e:
+        check_resume_geometry(RetClipConfig(), p, fields)
+    assert "vision_cfg" in str(e.value)
+    check_resume_geometry(prev_cfg, p, fields)  # matching cfg passes
