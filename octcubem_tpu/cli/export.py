@@ -51,7 +51,37 @@ def main(argv=None):
                     f"{sorted(params)[:20]}")
             params = params[key]
     sd = export_state_dict(params, style=args.style)
-    save_torch_checkpoint(args.out, sd, extra={"epoch": int(step)})
+    # stamp the source run's geometry into the .pth (reference loaders
+    # ignore extra keys) and WARN on non-reference head partitionings:
+    # the tensors are reference-shaped either way, but the reference
+    # constructors hardcode 16 heads — an enc8-pretrained encoder loaded
+    # there would silently compute the wrong function
+    extra = {"epoch": int(step)}
+    run_dir = args.ckpt[:-len("/ckpt")] if args.ckpt.rstrip("/").endswith(
+        "ckpt") else args.ckpt
+    args_json = os.path.join(run_dir, "args.json")
+    if os.path.exists(args_json):
+        import json
+
+        try:
+            with open(args_json) as f:
+                run_cfg = json.load(f)
+        except ValueError:
+            run_cfg = {}
+        geom = {k: run_cfg[k] for k in
+                ("model", "num_heads", "decoder_num_heads", "num_frames",
+                 "t_patch_size", "input_size") if k in run_cfg}
+        if geom:
+            extra["octcubem_tpu_geometry"] = geom
+        if run_cfg.get("num_heads", 16) != 16:
+            print(f"WARNING: this run was pretrained with num_heads="
+                  f"{run_cfg['num_heads']} (TPU-native encoder "
+                  "repartition).  The reference constructors hardcode 16 "
+                  "heads — loading this .pth there computes a DIFFERENT "
+                  "function unless the torch model is built with "
+                  f"num_heads={run_cfg['num_heads']}.  Geometry is "
+                  "stamped under key 'octcubem_tpu_geometry'.")
+    save_torch_checkpoint(args.out, sd, extra=extra)
     print(f"exported step {step} -> {args.out} "
           f"({len(sd)} tensors, style={args.style})")
     return args.out

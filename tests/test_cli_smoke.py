@@ -75,6 +75,15 @@ def test_export_cli_roundtrips_pretrain_ckpt(tmp_path):
         np.testing.assert_array_equal(np.asarray(flat_t[k]),
                                       np.asarray(flat_b[k]), err_msg=str(k))
 
+    # the export stamps the source run's geometry (so a TPU-native
+    # num_heads pretrain is identifiable on the torch side; reference
+    # loaders ignore the extra key)
+    import torch
+
+    payload = torch.load(pth, map_location="cpu", weights_only=False)
+    geom = payload.get("octcubem_tpu_geometry")
+    assert geom and geom["num_heads"] == 16 and "model" in geom
+
 
 def _write_png(path, rng, size=40):
     from PIL import Image
