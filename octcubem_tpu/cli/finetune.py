@@ -125,6 +125,8 @@ def run_fold(cfg, model, datasets, log, fold_tag=""):
     x0 = jnp.zeros((batch,) + (sample[0] if variable_joint else sample).shape)
     params = jax.jit(model.init)(jax.random.key(cfg.seed), x0)
     if cfg.finetune_ckpt:
+        from ..compat.torch_import import check_geometry_stamp
+        check_geometry_stamp(cfg.finetune_ckpt, cfg.num_heads)
         sd = load_torch_checkpoint(cfg.finetune_ckpt)
         # strip the head (reference strips mismatched heads, main:538-581)
         params, report = import_state_dict(params, sd, drop_keys=("head",),

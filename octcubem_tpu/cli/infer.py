@@ -38,6 +38,8 @@ def build_model_and_params(args):
     x0 = jnp.zeros((1, args.num_frames, args.input_size, args.input_size, 1))
     params = jax.jit(model.init)(jax.random.key(0), x0)
     if args.ckpt:
+        from ..compat.torch_import import check_geometry_stamp
+        check_geometry_stamp(args.ckpt, args.num_heads)
         sd = load_torch_checkpoint(args.ckpt)
         params, report = import_state_dict(params, sd)
         if report["missing"]:

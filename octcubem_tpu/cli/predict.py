@@ -125,6 +125,8 @@ def main(argv=None):
                         args.input_size, 1))
         params = jax.jit(fp_model.init)(jax.random.key(0), x0)
         if args.ckpt:
+            from ..compat.torch_import import check_geometry_stamp
+            check_geometry_stamp(args.ckpt, args.num_heads or 16)
             sd = load_torch_checkpoint(args.ckpt)
             params, rep = import_state_dict(params, sd, strict=False)
             log.info(f"loaded {args.ckpt}")

@@ -82,6 +82,8 @@ def build_predictor(args):
     x0 = jnp.zeros((1, args.num_frames, args.input_size, args.input_size, 1))
     params = jax.jit(fp_model.init)(jax.random.key(0), x0)
     if args.ckpt:
+        from ..compat.torch_import import check_geometry_stamp
+        check_geometry_stamp(args.ckpt, args.num_heads or 16)
         sd = load_torch_checkpoint(args.ckpt)
         params, _ = import_state_dict(params, sd, strict=False)
     if args.quant == "int8":

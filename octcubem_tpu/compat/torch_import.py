@@ -52,6 +52,35 @@ def load_torch_checkpoint(path: str) -> dict[str, np.ndarray]:
     return out
 
 
+def check_geometry_stamp(path: str, num_heads: int) -> None:
+    """Validate a consumer's head count against the geometry stamp the
+    export CLI writes into .pth files ('octcubem_tpu_geometry').  The
+    attention tensors are shape-identical across head partitionings, so
+    loading an enc8-pretrained encoder into a 16-head model succeeds and
+    silently computes the wrong function — fail loudly instead.
+    Reference checkpoints carry no stamp: skip silently."""
+    import torch
+
+    try:
+        ckpt = torch.load(path, map_location="cpu", weights_only=False,
+                          mmap=True)
+    except Exception:
+        try:  # pre-zipfile .pth (mmap unsupported): plain load
+            ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        except Exception:
+            return  # stamp checking must never block a legitimate load
+    geom = ckpt.get("octcubem_tpu_geometry") if isinstance(ckpt, dict) \
+        else None
+    stamped = (geom or {}).get("num_heads")
+    if stamped is not None and stamped != num_heads:
+        raise SystemExit(
+            f"{path} was pretrained with num_heads={stamped} (geometry "
+            f"stamp), but this run builds the model with num_heads="
+            f"{num_heads}.  The tensors load cleanly either way and the "
+            "model would silently compute the WRONG function — pass "
+            f"--num_heads {stamped} (or the matching config).")
+
+
 # ------------------------------------------------------------------ rules
 
 def _fuse_qkv(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:

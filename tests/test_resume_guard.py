@@ -70,3 +70,26 @@ def test_retclip_resume_tower_geometry_guard(tmp_path):
         check_resume_geometry(RetClipConfig(), p, fields)
     assert "vision_cfg" in str(e.value)
     check_resume_geometry(prev_cfg, p, fields)  # matching cfg passes
+
+
+def test_torch_checkpoint_geometry_stamp_guard(tmp_path):
+    """Consumers (finetune/infer/predict/serve) refuse a .pth whose
+    export-time geometry stamp disagrees with the requested num_heads;
+    unstamped (reference) checkpoints load unchallenged."""
+    import numpy as np
+    import torch
+
+    from octcubem_tpu.compat.torch_import import check_geometry_stamp
+
+    stamped = os.path.join(str(tmp_path), "enc8.pth")
+    torch.save({"model": {"w": torch.zeros(2)},
+                "octcubem_tpu_geometry": {"num_heads": 8}}, stamped)
+    with pytest.raises(SystemExit) as e:
+        check_geometry_stamp(stamped, 16)
+    assert "num_heads=8" in str(e.value)
+    check_geometry_stamp(stamped, 8)  # matching: no raise
+
+    plain = os.path.join(str(tmp_path), "ref.pth")
+    torch.save({"model": {"w": torch.zeros(2)}}, plain)
+    check_geometry_stamp(plain, 16)   # unstamped: no raise
+    check_geometry_stamp(os.path.join(str(tmp_path), "gone.pth"), 16)
