@@ -193,9 +193,16 @@ def main(argv=None):
     if cfg.n_sp > 1 and attn_impl != "flash_sp":
         attn_impl = "flash_sp"  # n_sp opts the attention into sp
     dtype = jnp.bfloat16 if cfg.precision == "bf16" else jnp.float32
-    model = mae3d.mae_vit_large_patch16(**model_kw, dtype=dtype,
-                                        remat=cfg.remat,
-                                        attn_impl=attn_impl) \
+    # dispatch on cfg.model (base/large/huge constructors, mae3d registry;
+    # mirrors the reference's models_mae.__dict__[args.model] dispatch,
+    # Pre-training/main_pretrain_oph_joint_2d512_flash_attn.py:383)
+    ctor = getattr(mae3d, cfg.model, None)
+    if ctor is None or not callable(ctor):
+        raise SystemExit(f"unknown MAE model '{cfg.model}' (expected a "
+                         "constructor in octcubem_tpu.models.mae3d, e.g. "
+                         "mae_vit_large_patch16 / mae_vit_huge_patch14)")
+    model = ctor(**model_kw, dtype=dtype, remat=cfg.remat,
+                 attn_impl=attn_impl) \
         if not args.tiny else mae3d.MaskedAutoencoderViT3D(
             **model_kw, dtype=dtype, attn_impl=attn_impl)
     # 2D-branch-only remat (same params, remat=True graph for the
@@ -216,8 +223,8 @@ def main(argv=None):
         accum_2d = 1
     model2d = None
     if use_remat_2d:
-        model2d = mae3d.mae_vit_large_patch16(
-            **model_kw, dtype=dtype, remat=True, attn_impl=attn_impl)
+        model2d = ctor(**model_kw, dtype=dtype, remat=True,
+                       attn_impl=attn_impl)
     frames = model.num_frames
     size = model.input_size
     hi_size = model.high_res_input_size

@@ -263,6 +263,21 @@ PRESETS: dict[str, Any] = {
     "vitl_mae_tpu_native_enc8": MAEPretrainConfig(accum_2d=4,
                                                   decoder_num_heads=4,
                                                   num_heads=8),
+    # ViT-H/14 TPU-native pretrain — the next model size up, which the
+    # reference registry ships but never trains (mae_vit_huge_patch14,
+    # Pre-training/models_mae_joint_res_flash_attn.py:829-843).  224^2
+    # volumes (patch 14 -> the same 5121-token decoder sequence as ViT-L
+    # at 256^2/16), enc 10 heads (1280/10 = head_dim 128: the parity 16
+    # heads give head_dim 80, which is not 128-divisible and falls back
+    # off the packed kernel path — measured 5.4% slower), dec 4 heads.
+    # Measured 3D step (docs/perf/bench_vith.log, batch 4, no remat, one
+    # 16GB v5e): 170.2 ms / 23.5 vol/s / 49.8% MFU.  The 2D branch runs
+    # 448^2 (14-divisible counterpart of the ViT-L 512^2) with the same
+    # accum_2d microbatching.
+    "vith_mae_tpu_native": MAEPretrainConfig(
+        model="mae_vit_huge_patch14", input_size=224,
+        high_res_input_size=448, batch_size=4, num_heads=10,
+        decoder_num_heads=4, accum_2d=4),
     # high-res joint pretrain with the 20k-token attention sharded 4-way
     # over a composed (data, sp) mesh — the case sequence parallelism was
     # built for (SURVEY §5.7 optional headroom)

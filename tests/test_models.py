@@ -231,3 +231,46 @@ def test_config_num_heads_reaches_models():
     # default stays reference parity
     assert build_model(load_config(FinetuneConfig, "octcube_multitask"),
                        jnp.float32).num_heads == 16
+
+
+def test_vith_preset_resolves_model_dispatch():
+    """cli.pretrain dispatches the MAE constructor on cfg.model
+    (mirroring the reference's models_mae.__dict__[args.model] dispatch,
+    Pre-training/main_pretrain_oph_joint_2d512_flash_attn.py:383); the
+    vith_mae_tpu_native preset resolves mae_vit_huge_patch14
+    (models_mae_joint_res_flash_attn.py:829-843, shipped but never
+    trained upstream) with head_dim-128 partitionings on both sides."""
+    from octcubem_tpu.core.config import MAEPretrainConfig, load_config
+
+    cfg = load_config(MAEPretrainConfig, "vith_mae_tpu_native")
+    ctor = getattr(mae3d, cfg.model)
+    m = ctor(num_frames=6, t_patch_size=3, pred_t_dim=6,
+             input_size=cfg.input_size,
+             high_res_input_size=cfg.high_res_input_size,
+             num_heads=cfg.num_heads,
+             decoder_num_heads=cfg.decoder_num_heads)
+    assert m.embed_dim == 1280 and m.depth == 32 and m.patch_size == 14
+    assert m.embed_dim // m.num_heads == 128            # enc packed path
+    assert m.decoder_embed_dim // m.decoder_num_heads == 128
+    # both resolutions tile the 14-pixel patch grid
+    assert cfg.input_size % 14 == 0 and cfg.high_res_input_size % 14 == 0
+
+
+def test_pretrain_cli_rejects_unknown_model(tmp_path):
+    """An unknown cfg.model fails loudly at dispatch, before any data or
+    compile work."""
+    import dataclasses
+    import json
+
+    from octcubem_tpu.cli import pretrain
+    from octcubem_tpu.core.config import (MAEPretrainConfig, load_config,
+                                          to_json)
+
+    cfg = dataclasses.replace(
+        load_config(MAEPretrainConfig, "vitl_joint_pretrain"),
+        model="mae_vit_nonexistent")
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(to_json(cfg))
+    with pytest.raises(SystemExit, match="unknown MAE model"):
+        pretrain.main(["--preset", str(cfg_path), "--tiny", "--synthetic",
+                       "--output_dir", str(tmp_path / "out")])
