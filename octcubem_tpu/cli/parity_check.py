@@ -69,6 +69,9 @@ def main(argv=None):
     else:
         model = registry.create_model(args.model_family, args.model, **kw)
     params = jax.jit(model.init)(jax.random.key(0), jnp.asarray(x[:1]))
+    from ..compat.torch_import import check_geometry_stamp
+
+    check_geometry_stamp(args.ckpt, args.num_heads or 16)
     sd = load_torch_checkpoint(args.ckpt)
     params, report = import_state_dict(params, sd)
     if report["missing"]:

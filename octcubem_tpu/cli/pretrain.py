@@ -340,8 +340,14 @@ def main(argv=None):
     if cfg.init_ckpt:
         from ..compat.torch_import import (load_torch_checkpoint,
                                            import_state_dict,
-                                           convert_retfound_2d_state_dict)
+                                           convert_retfound_2d_state_dict,
+                                           check_geometry_stamp)
 
+        # stamped exports from a head-repartitioned run load cleanly into
+        # any partitioning and silently train the wrong function — refuse
+        # on mismatch (reference checkpoints are unstamped: no-op)
+        check_geometry_stamp(cfg.init_ckpt, cfg.num_heads,
+                             decoder_num_heads=cfg.decoder_num_heads)
         sd = load_torch_checkpoint(cfg.init_ckpt)
         if cfg.resume_type in (
                 "retfound_2_flash_attn", "imagenet_mae") + _IMAGENET_FT:

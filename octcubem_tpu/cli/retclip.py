@@ -139,7 +139,9 @@ def main(argv=None):
     from ..core.config import RetClipConfig, load_config, to_json
     from ..core import mesh as meshlib, checkpoint as ckpt_lib
     from ..models import registry, coem
-    from ..compat.torch_import import load_torch_checkpoint, import_state_dict
+    from ..compat.torch_import import (load_torch_checkpoint,
+                                       import_state_dict,
+                                       check_geometry_stamp)
     from ..data import loader as loader_lib
     from ..train import optim, schedules, clip_engine
     from ..train.train_state import TrainState
@@ -259,10 +261,17 @@ def main(argv=None):
                  else (ex["image"], ex["enface"]))
     params = jax.jit(model.init)(jax.random.key(cfg.seed), *init_args)
 
-    # tower init from pretrained torch checkpoints (factory.py tower loads)
-    for ckpt_path, prefix in ((cfg.visual_init_ckpt, "visual/trunk"),
-                              (cfg.enface_init_ckpt, "enface/trunk")):
+    # tower init from pretrained torch checkpoints (factory.py tower loads,
+    # open_clip/model.py:271-295).  Geometry-stamp guard first: the
+    # attention tensors are shape-identical across head partitionings, so
+    # a stamped enc8 .pth would load cleanly into a 16-head tower and
+    # silently train the wrong function (same hazard class the
+    # finetune/infer/predict/serve consumers already refuse).
+    for ckpt_path, prefix, heads in (
+            (cfg.visual_init_ckpt, "visual/trunk", vcfg.get("num_heads", 16)),
+            (cfg.enface_init_ckpt, "enface/trunk", ecfg.get("num_heads", 16))):
         if ckpt_path:
+            check_geometry_stamp(ckpt_path, heads)
             sd = load_torch_checkpoint(ckpt_path)
             sd = {f"{prefix}.{k}".replace("/", "."): v for k, v in sd.items()}
             params, rep = import_state_dict(params, sd, strict=False,

@@ -328,6 +328,11 @@ def _main_manifest(args):
 
     num_outputs = len(label_keys) if task == "regression" else args.num_classes
     model, vcfg, ecfg = _build_model(args, num_outputs)
+    if args.init_ckpt:
+        # geometry guard BEFORE any fold trains: an enc8-trained retclip
+        # checkpoint loads structurally-cleanly into 16-head towers and
+        # silently computes the wrong function
+        clip_engine.check_retclip_run_geometry(args.init_ckpt, vcfg, ecfg)
     three_mod = args.three_mod  # a 3-tower --model_config upgrades the run
     # 2D-vision configs (retfound2d/retfound3dhead) carry no num_frames;
     # default 60 like cli/retclip.py's reader

@@ -52,12 +52,15 @@ def load_torch_checkpoint(path: str) -> dict[str, np.ndarray]:
     return out
 
 
-def check_geometry_stamp(path: str, num_heads: int) -> None:
+def check_geometry_stamp(path: str, num_heads: int,
+                         decoder_num_heads: int | None = None) -> None:
     """Validate a consumer's head count against the geometry stamp the
     export CLI writes into .pth files ('octcubem_tpu_geometry').  The
     attention tensors are shape-identical across head partitionings, so
     loading an enc8-pretrained encoder into a 16-head model succeeds and
     silently computes the wrong function — fail loudly instead.
+    `decoder_num_heads` extends the same check to MAE checkpoints whose
+    decoder is about to keep training (cli.pretrain --init_ckpt).
     Reference checkpoints carry no stamp: skip silently."""
     import torch
 
@@ -71,14 +74,19 @@ def check_geometry_stamp(path: str, num_heads: int) -> None:
             return  # stamp checking must never block a legitimate load
     geom = ckpt.get("octcubem_tpu_geometry") if isinstance(ckpt, dict) \
         else None
-    stamped = (geom or {}).get("num_heads")
-    if stamped is not None and stamped != num_heads:
-        raise SystemExit(
-            f"{path} was pretrained with num_heads={stamped} (geometry "
-            f"stamp), but this run builds the model with num_heads="
-            f"{num_heads}.  The tensors load cleanly either way and the "
-            "model would silently compute the WRONG function — pass "
-            f"--num_heads {stamped} (or the matching config).")
+    checks = [("num_heads", num_heads, "--num_heads")]
+    if decoder_num_heads is not None:
+        checks.append(("decoder_num_heads", decoder_num_heads,
+                       "--decoder_num_heads"))
+    for field, built, flag in checks:
+        stamped = (geom or {}).get(field)
+        if stamped is not None and stamped != built:
+            raise SystemExit(
+                f"{path} was pretrained with {field}={stamped} (geometry "
+                f"stamp), but this run builds the model with {field}="
+                f"{built}.  The tensors load cleanly either way and the "
+                "model would silently compute the WRONG function — pass "
+                f"{flag} {stamped} (or the matching config).")
 
 
 # ------------------------------------------------------------------ rules

@@ -314,6 +314,45 @@ def make_clip_cls_predict_step(model, three_mod: bool = False,
     return predict
 
 
+def check_retclip_run_geometry(ckpt_path: str, vcfg, ecfg) -> None:
+    """Refuse tower init from a retclip run whose recorded tower geometry
+    (params.txt, written by cli.retclip) disagrees on head partitioning.
+
+    Orbax tower tensors are shape-identical across head repartitionings
+    (Wqkv stays [D, 3D]), so init_towers_from_retclip's structural
+    leaf-count check cannot catch a num_heads mismatch — the model would
+    load cleanly and silently compute the WRONG function (the same hazard
+    class cli/export.py stamps .pth files for).  Runs without params.txt
+    (or files predating the geometry fields) pass unchallenged."""
+    import json
+    import os
+
+    run_dir = ckpt_path.rstrip("/")
+    for _ in range(3):  # accept run dir, run/ckpt, or a step dir's parent
+        if os.path.exists(os.path.join(run_dir, "params.txt")):
+            break
+        run_dir = os.path.dirname(run_dir)
+    path = os.path.join(run_dir, "params.txt")
+    if not os.path.exists(path):
+        return
+    try:
+        with open(path) as f:
+            saved = json.load(f)
+    except ValueError:
+        return
+    for key, built in (("vision_cfg", vcfg), ("enface_cfg", ecfg)):
+        rec = saved.get(key) or {}
+        sh = rec.get("num_heads")
+        bh = (built or {}).get("num_heads")
+        if sh is not None and bh is not None and sh != bh:
+            raise SystemExit(
+                f"{ckpt_path} was trained with {key}.num_heads={sh} "
+                f"(recorded in {path}), but this run builds the tower "
+                f"with num_heads={bh}.  The tensors load cleanly either "
+                "way and the model would silently compute the WRONG "
+                "function — use a matching --model_config / flags.")
+
+
 def init_towers_from_retclip(params, ckpt_path: str, step: int | None = None):
     """Initialize the classification model's towers from a TRAINED
     retclip checkpoint (the reference loads the contrastive state_dict

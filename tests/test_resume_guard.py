@@ -93,3 +93,79 @@ def test_torch_checkpoint_geometry_stamp_guard(tmp_path):
     torch.save({"model": {"w": torch.zeros(2)}}, plain)
     check_geometry_stamp(plain, 16)   # unstamped: no raise
     check_geometry_stamp(os.path.join(str(tmp_path), "gone.pth"), 16)
+
+
+def test_geometry_stamp_decoder_heads(tmp_path):
+    """cli.pretrain --init_ckpt checks the DECODER partitioning too: the
+    MAE decoder keeps training from the checkpoint, so a dec-4 export
+    resumed into a 16-head decoder silently trains the wrong function."""
+    import torch
+
+    from octcubem_tpu.compat.torch_import import check_geometry_stamp
+
+    p = os.path.join(str(tmp_path), "native.pth")
+    torch.save({"model": {"w": torch.zeros(2)},
+                "octcubem_tpu_geometry": {"num_heads": 16,
+                                          "decoder_num_heads": 4}}, p)
+    with pytest.raises(SystemExit) as e:
+        check_geometry_stamp(p, 16, decoder_num_heads=16)
+    assert "decoder_num_heads=4" in str(e.value)
+    check_geometry_stamp(p, 16, decoder_num_heads=4)  # matching: no raise
+    check_geometry_stamp(p, 16)  # decoder not consumed (classifiers): skip
+
+
+def test_retclip_tower_init_refuses_stamped_geometry_mismatch(tmp_path):
+    """The round-4 verdict hole: cli.retclip tower init
+    (--visual_init_ckpt, reference factory loads open_clip/model.py:
+    271-295) must refuse a stamped .pth whose head partitioning disagrees
+    with the JSON tower config — the tensors load cleanly either way."""
+    import torch
+
+    from octcubem_tpu.cli import retclip
+
+    stamped = os.path.join(str(tmp_path), "enc8.pth")
+    torch.save({"model": {"w": torch.zeros(2)},
+                "octcubem_tpu_geometry": {"num_heads": 8}}, stamped)
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps({"visual_init_ckpt": stamped,
+                                    "accum_freq": 1}))
+    out = str(tmp_path / "rc")
+    with pytest.raises(SystemExit) as e:
+        retclip.main(["--preset", str(cfg_path),
+                      "--model_config", "vitl16_octcube_ir_tiny_test",
+                      "--synthetic", "--synthetic_n", "16",
+                      "--batch_size", "8", "--epochs", "1",
+                      "--output_dir", out])
+    assert "num_heads=8" in str(e.value)
+
+
+def test_retclip_finetune_init_ckpt_run_geometry_guard(tmp_path):
+    """The orbax-side twin of the .pth stamp: init_towers_from_retclip
+    source runs record their tower geometry in params.txt — a head
+    repartitioning must be refused (structure check can't catch it:
+    Wqkv stays [D, 3D] at any head count)."""
+    from octcubem_tpu.train.clip_engine import check_retclip_run_geometry
+
+    run = tmp_path / "run"
+    (run / "ckpt").mkdir(parents=True)
+    vcfg16 = {"num_heads": 16, "embed_dim": 1024}
+    ecfg16 = {"num_heads": 16}
+    (run / "params.txt").write_text(json.dumps(
+        {"vision_cfg": {"num_heads": 8}, "enface_cfg": ecfg16}))
+    with pytest.raises(SystemExit) as e:
+        check_retclip_run_geometry(str(run), vcfg16, ecfg16)
+    assert "vision_cfg" in str(e.value)
+    # the ckpt/ subdir path resolves to the same run dir
+    with pytest.raises(SystemExit):
+        check_retclip_run_geometry(str(run / "ckpt"), vcfg16, ecfg16)
+    # matching geometry passes; enface mismatch caught independently
+    check_retclip_run_geometry(str(run), {"num_heads": 8}, ecfg16)
+    with pytest.raises(SystemExit) as e2:
+        check_retclip_run_geometry(str(run), {"num_heads": 8},
+                                   {"num_heads": 12})
+    assert "enface_cfg" in str(e2.value)
+    # no params.txt (foreign ckpt dir): pass unchallenged
+    check_retclip_run_geometry(str(tmp_path / "elsewhere"), vcfg16, ecfg16)
+    # pre-geometry-era params.txt (fields absent): skip
+    (run / "params.txt").write_text(json.dumps({"epochs": 3}))
+    check_retclip_run_geometry(str(run), vcfg16, ecfg16)
