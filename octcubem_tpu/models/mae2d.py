@@ -117,7 +117,9 @@ class MaskedAutoencoderViT2D(nn.Module):
         pred = pred.astype(jnp.float32)
         if self.norm_pix_loss:
             mean = target.mean(axis=-1, keepdims=True)
-            var = target.var(axis=-1, keepdims=True)
+            # torch.var is unbiased by default (models_mae.py:207) —
+            # ddof=1 for parity
+            var = target.var(axis=-1, keepdims=True, ddof=1)
             target = (target - mean) / (var + 1e-6) ** 0.5
         per_patch = ((pred - target) ** 2).mean(axis=-1)
         loss = (per_patch * mask).sum() / jnp.maximum(mask.sum(), 1.0)

@@ -263,7 +263,9 @@ class MaskedAutoencoderViT3D(nn.Module):
         pred = pred.astype(jnp.float32)
         if self.norm_pix_loss:
             mean = target.mean(axis=-1, keepdims=True)
-            var = target.var(axis=-1, keepdims=True)
+            # torch.var defaults to the UNBIASED (n-1) estimator
+            # (ref :644-646); jnp.var defaults to biased — ddof=1 for parity
+            var = target.var(axis=-1, keepdims=True, ddof=1)
             target = (target - mean) / (var + 1e-6) ** 0.5
         per_patch = ((pred - target) ** 2).mean(axis=-1)  # [B, L]
         mask = mask.reshape(per_patch.shape)

@@ -184,3 +184,65 @@ def test_mae_pred_parity(res):
     assert not report["missing"], report
     _, _, pred, _ = model.apply(params, x_jax, mask_ratio=0.0)
     np.testing.assert_allclose(np.asarray(pred), ref, atol=2e-5, rtol=2e-5)
+
+
+def _torch_patchify(imgs, u, p):
+    """Reference patchify layout (models_mae_joint_res_flash_attn.py:
+    289-314): token order (t, h, w), within-patch order (u, p, q, c)."""
+    B, C, T, H, W = imgs.shape
+    tt, hh, ww = T // u, H // p, W // p
+    x = imgs.reshape(B, C, tt, u, hh, p, ww, p)
+    return x.permute(0, 2, 4, 6, 3, 5, 7, 1).reshape(B, tt * hh * ww,
+                                                     u * p * p * C)
+
+
+@pytest.mark.parametrize("norm_pix", [False, True])
+def test_loss_pred_t_dim_subsample_golden(norm_pix):
+    """The pred_t_dim < num_frames loss branch (the case it exists for):
+    target frames subsampled by index_select(linspace(0, T-1,
+    pred_t_dim).long()) — reference models_mae_joint_res_flash_attn.py:
+    630-642 — then masked MSE + per-frame SPL losses (:649-661).
+    num_frames=12 / t_patch=2 / pred_t_dim=6 gives u=1 and truncating
+    indices [0,2,4,6,8,11], so a rounding mismatch fails loudly.
+    norm_pix=True additionally pins torch's UNBIASED variance (:644-646).
+    """
+    FR, TPS, PT = 12, 2, 6
+    model = mae3d.MaskedAutoencoderViT3D(
+        input_size=IMG, high_res_input_size=HIMG, patch_size=P, in_chans=1,
+        embed_dim=D, depth=1, num_heads=2, decoder_embed_dim=DD,
+        decoder_depth=1, decoder_num_heads=2, num_frames=FR,
+        t_patch_size=TPS, pred_t_dim=PT, attn_impl="naive",
+        norm_pix_loss=norm_pix)
+    assert model.t_pred_patch_size == 1  # 2*6//12
+
+    rng = np.random.default_rng(7)
+    x_np = rng.standard_normal((2, FR, IMG, IMG, 1)).astype(np.float32)
+    x = jnp.asarray(x_np)
+    params = model.init(
+        {"params": jax.random.key(0), "masking": jax.random.key(1)},
+        x, mask_ratio=0.75)
+    loss, frame_losses, pred, mask = model.apply(
+        params, x, mask_ratio=0.75, rngs={"masking": jax.random.key(2)})
+
+    # torch oracle for the loss given the SAME pred/mask
+    imgs_t = torch.tensor(x_np.transpose(0, 4, 1, 2, 3))  # [B,C,T,H,W]
+    idx = torch.linspace(0, FR - 1, PT).long()
+    assert idx.tolist() == [0, 2, 4, 6, 8, 11]  # truncation, not rounding
+    target = _torch_patchify(torch.index_select(imgs_t, 2, idx), 1, P)
+    if norm_pix:
+        mean = target.mean(dim=-1, keepdim=True)
+        var = target.var(dim=-1, keepdim=True)  # torch default: unbiased
+        target = (target - mean) / (var + 1e-6) ** 0.5
+    pred_t = torch.tensor(np.asarray(pred, np.float32))
+    l = ((pred_t - target) ** 2).mean(-1)
+    m = torch.tensor(np.asarray(mask, np.float32)).view(l.shape)
+    loss_ref = float((l * m).sum() / m.sum())
+    gr = IMG // P
+    rl = l.view(-1, FR // TPS, gr, gr)
+    rm = m.view(-1, FR // TPS, gr, gr)
+    fl_ref = ((rl * rm).sum(dim=(2, 3)) / (rm.sum(dim=(2, 3)) + 1e-6)).numpy()
+
+    np.testing.assert_allclose(float(loss), loss_ref, rtol=2e-5)
+    assert frame_losses.shape == (2, FR // TPS)
+    np.testing.assert_allclose(np.asarray(frame_losses), fl_ref, rtol=2e-5,
+                               atol=1e-6)
