@@ -149,6 +149,27 @@ def a100_component_est_vols_per_sec() -> float:
     return 1.0 / t
 
 
+# Fairness comparator (round-4 NOTES, promoted into the JSON per the
+# round-4 verdict): an A100 running the SAME hd-128 decoder repartition
+# would also speed up.  Same component model with generous public FA2
+# hd-128 A100 rates (~165 TF fwd / ~130 TF bwd) -> ~47.6 vol/s.  The
+# headline vs_baseline comparator stays the reference's own published
+# configuration (hd-32), which is the workload BASELINE.md defines;
+# this number contextualizes it.
+A100_ATTN_FWD_TF_HD128 = 165e12
+A100_ATTN_BWD_TF_HD128 = 130e12
+
+
+def a100_native_est_vols_per_sec() -> float:
+    """A100 vol/s if it ALSO ran the TPU-native hd-128 decoder geometry
+    (identical FLOPs; only the FA2 attention rates change)."""
+    dense_fwd, attn_fwd = train_step_flops_per_volume(split=True)
+    t = (attn_fwd / A100_ATTN_FWD_TF_HD128
+         + 2.0 * attn_fwd / A100_ATTN_BWD_TF_HD128
+         + 3.0 * dense_fwd / (A100_DENSE_EFF * A100_PEAK_FP16))
+    return 1.0 / t
+
+
 def measure(dec_heads: int, batch: int | None = None):
     """One full-train-step measurement at the given decoder head count
     and batch size (default: the BENCH_BATCH env / 4).
@@ -233,10 +254,38 @@ def measure(dec_heads: int, batch: int | None = None):
     return vols_per_sec, step_time * 1000, mfu
 
 
+def refresh_extras():
+    """BENCH_FULL=1: re-measure the extras by running the dedicated
+    scripts as subprocesses (each writes its key into
+    docs/perf/recorded.json via octcubem_tpu.utils.recorded).  The chip
+    serializes work, so this adds their full runtime (~10-15 min warm
+    cache) to the bench."""
+    import subprocess
+    import sys
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    runs = [
+        # joint production step, TPU-native geometry (joint_enc16_dec4)
+        ({"BJ_DEC_HEADS": "4", "BJ_ACCUM2D": "4", "BJ_PREMASK": "1"},
+         "scripts/bench_joint.py"),
+        # serving ladder endpoints (serving_enc16 / serving_enc8)
+        ({}, "scripts/bench_infer.py"),
+        ({"IB_NUM_HEADS": "8"}, "scripts/bench_infer.py"),
+    ]
+    for env_extra, script in runs:
+        env = dict(os.environ, **env_extra)
+        print(f"# BENCH_FULL: {env_extra} {script}", file=sys.stderr,
+              flush=True)
+        subprocess.run([sys.executable, os.path.join(here, script)],
+                       env=env, check=True, stdout=sys.stderr)
+
+
 def main():
     flops_per_vol = train_step_flops_per_volume()
     a100_flat = A100_PEAK_FP16 * A100_ASSUMED_MFU / flops_per_vol
     a100_est = a100_component_est_vols_per_sec()
+    if os.environ.get("BENCH_FULL") == "1":
+        refresh_extras()
 
     if DEC_HEADS_ENV is not None:
         # explicit geometry: single measurement, that geometry headline
@@ -301,32 +350,66 @@ def main():
             "parity_vs_baseline": round(parity[0] / a100_est, 3),
             "parity_batch": parity_batch,
         })
-    # the rest of the measured story — RECORDED results from this
-    # round's dedicated scripts (scripts/bench_joint.py on the full
-    # 3D+2D production config, scripts/bench_infer.py on the serving
-    # path, all on this chip, NOTES_ROUND3/4) — these fields are NOT
-    # re-measured by this invocation; `value`/`parity_*` above are the
-    # fresh measurements.  Re-run those scripts to refresh.
+    if ENC_HEADS == 8 and dec == 4:
+        # the enc8+dec4 headline is itself a ledger row other bench runs
+        # surface as native_enc8_* (vitl_mae_tpu_native_enc8 preset)
+        from octcubem_tpu.utils.recorded import record
+
+        record(f"native_enc8_b{batch_used}",
+               {"vol_s": round(vol_s, 3), "mfu": round(mfu, 4),
+                "step_time_ms": round(step_ms, 1), "batch": batch_used,
+                "source": "BENCH_ENC_HEADS=8 bench.py"})
+    # fairness comparator beside the claim (round-4 verdict weak #2):
+    # vs_baseline compares against the reference's published hd-32
+    # config; a100_native_est_vol_s is what the same component model
+    # gives an A100 running OUR hd-128 repartition.
+    a100_native = a100_native_est_vols_per_sec()
     out.update({
-        "recorded_extras_not_remeasured": True,
-        "joint_step_ms": 759.3, "joint_mfu": 0.340,
-        "joint_native_step_ms": 585.2, "joint_native_mfu": 0.4417,
-        "joint_enc8_step_ms": 558.0, "joint_enc8_mfu": 0.4632,
-        "serving_vol_s": 25.1, "serving_mfu": 0.527,
-        # encoder ALSO re-partitioned (vitl_mae_tpu_native_enc8 preset,
-        # num_heads=8 -> head_dim 128): only for encoders pretrained at
-        # that geometry — learning-neutral on the memorization ablation
-        # (docs/perf/enc_quality_mem600.jsonl)
-        "serving_enc8_vol_s": 33.25, "serving_enc8_mfu": 0.6973,
-        "serving_enc8_int8_vol_s": 36.4,
-        "native_enc8_vol_s": 30.867, "native_enc8_mfu": 0.4888,
-        "extras_note": "joint_*/joint_native_*/joint_enc8_*/serving_*/"
-                       "native_enc8_* are RECORDED from this round's "
-                       "scripts/bench_joint.py and scripts/bench_infer"
-                       ".py runs on this chip (NOTES_ROUND3/4), not "
-                       "re-measured per invocation; re-run those "
-                       "scripts to refresh",
+        "a100_native_est_vol_s": round(a100_native, 2),
+        "vs_a100_native_est": round(vol_s / a100_native, 3),
+        "comparator_note": "vs_baseline = vs the reference's published "
+                           "hd-32 decoder config (the workload "
+                           "BASELINE.md defines); vs_a100_native_est = "
+                           "vs an A100 running the same hd-128 "
+                           "repartition (FA2 hd-128 ~165/130 TF, same "
+                           "component model)",
     })
+    # the rest of the measured story — joint production step, serving
+    # ladder, retrieval encode, ViT-H — comes from the LIVE ledger
+    # docs/perf/recorded.json, which every dedicated bench script
+    # overwrites (with a timestamp) on each run; BENCH_FULL=1 re-runs
+    # the joint + serving scripts in this invocation first.
+    # `value`/`parity_*` above are always measured fresh here.
+    from octcubem_tpu.utils.recorded import load as load_recorded
+
+    rec = load_recorded()
+
+    def _ext(prefix, key, fields=("step_time_ms", "mfu", "vol_s",
+                                  "pairs_s", "recorded_at")):
+        row = rec.get(key)
+        if not row:
+            return {}
+        return {f"{prefix}_{f}": row[f] for f in fields if f in row}
+
+    out.update(_ext("joint", "joint_enc16_dec16"))
+    out.update(_ext("joint_native", "joint_enc16_dec4"))
+    out.update(_ext("joint_enc8", "joint_enc8_dec4"))
+    out.update(_ext("serving", "serving_enc16"))
+    # encoder ALSO re-partitioned (vitl_mae_tpu_native_enc8 preset,
+    # num_heads=8 -> head_dim 128): only for encoders pretrained at
+    # that geometry — learning-neutral on the memorization ablation
+    # (docs/perf/enc_quality_mem600.jsonl)
+    out.update(_ext("serving_enc8", "serving_enc8"))
+    out.update(_ext("serving_enc8_int8", "serving_enc8_int8"))
+    out.update(_ext("native_enc8", "native_enc8_b8"))
+    out.update(_ext("retclip_encode", "retclip_encode"))
+    out.update(_ext("vith", "vith_enc10_dec4"))
+    out["extras_note"] = (
+        "joint_*/serving_*/native_enc8_*/retclip_encode_*/vith_* come "
+        "from docs/perf/recorded.json — re-measured whenever the "
+        "dedicated scripts run (each *_recorded_at dates its own "
+        "measurement); BENCH_FULL=1 refreshes joint+serving in this "
+        "invocation")
     print(json.dumps(out))
 
 

@@ -87,7 +87,7 @@ def main():
         dt = time.time() - t0
         step_ms = dt / STEPS * 1000
         vps = batch / (dt / STEPS)
-        print(json.dumps({
+        result = {
             "metric": "ViT-L classifier inference (48x256x256, "
                       + ("int8 PTQ + bf16 flash)" if QUANT else "bf16 flash)"),
             "quant": QUANT,
@@ -97,7 +97,13 @@ def main():
             "value": round(vps, 2),
             "unit": "volumes/sec/chip",
             "mfu": round(flops * vps / V5E_PEAK_BF16, 4),
-        }), flush=True)
+        }
+        print(json.dumps(result), flush=True)
+        if batch == 1:  # serving optimum (NOTES_ROUND4): the ledger row
+            from octcubem_tpu.utils.recorded import record
+            record(f"serving_enc{NUM_HEADS}" + ("_int8" if QUANT else ""),
+                   dict(result, vol_s=result["value"],
+                        source="scripts/bench_infer.py"))
 
 
 if __name__ == "__main__":

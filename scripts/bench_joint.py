@@ -123,7 +123,7 @@ def main():
     step_flops = BATCH3D * flops3d + BATCH2D * flops2d
     mfu = step_flops / (dt / STEPS) / bench.V5E_PEAK_BF16
 
-    print(json.dumps({
+    result = {
         "metric": "joint 3D+2D-512 MAE pretrain step (ViT-L, ref headline config)",
         "step_time_ms": round(step_ms, 1),
         "vol3d_per_sec": round(BATCH3D / (dt / STEPS), 2),
@@ -134,7 +134,12 @@ def main():
         "premask_in_step": PREMASK, "remat": REMAT, "remat_2d": REMAT2D,
         "accum_2d": ACCUM2D, "decoder_num_heads": DEC_HEADS,
         "encoder_num_heads": ENC_HEADS,
-    }), flush=True)
+    }
+    print(json.dumps(result), flush=True)
+    # live extras ledger for bench.py (docs/perf/recorded.json)
+    from octcubem_tpu.utils.recorded import record
+    record(f"joint_enc{ENC_HEADS}_dec{DEC_HEADS}",
+           dict(result, source="scripts/bench_joint.py"))
 
 
 if __name__ == "__main__":

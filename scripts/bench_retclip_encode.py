@@ -95,7 +95,7 @@ def main():
         dt = time.time() - t0
         step_ms = dt / STEPS * 1000
         pps = batch / (dt / STEPS)
-        print(json.dumps({
+        result = {
             "metric": "COEM 2-tower paired encode (60x256^2 OCT + 384^2 "
                       + ("enface, int8 PTQ)" if QUANT else "enface, bf16)"),
             "quant": QUANT,
@@ -105,7 +105,14 @@ def main():
             "value": round(pps, 2),
             "unit": "pairs/sec/chip",
             "mfu": round(flops * pps / V5E_PEAK_BF16, 4),
-        }), flush=True)
+        }
+        print(json.dumps(result), flush=True)
+        if batch == 1 and not QUANT and NUM_HEADS == 16:
+            # the canonical ledger row (docs/perf/recorded.json)
+            from octcubem_tpu.utils.recorded import record
+            record("retclip_encode",
+                   dict(result, pairs_s=result["value"],
+                        source="scripts/bench_retclip_encode.py"))
 
 
 if __name__ == "__main__":

@@ -103,7 +103,7 @@ def main():
     step_ms = dt / STEPS * 1000
     vps = BATCH / (dt / STEPS)
     flops = train_step_flops_per_volume()
-    print(json.dumps({
+    result = {
         "metric": "MAE ViT-H/14 3D pretrain step (60x224x224, mask 0.9)",
         "value": round(vps, 3), "unit": "volumes/sec/chip",
         "step_time_ms": round(step_ms, 1), "batch": BATCH, "remat": REMAT,
@@ -111,7 +111,13 @@ def main():
         "params_M": round(n_params / 1e6, 1),
         "flops_per_volume_T": round(flops / 1e12, 3),
         "mfu": round(flops * vps / V5E_PEAK_BF16, 4),
-    }), flush=True)
+    }
+    print(json.dumps(result), flush=True)
+    # live extras ledger for bench.py (docs/perf/recorded.json)
+    from octcubem_tpu.utils.recorded import record
+    record(f"vith_enc{ENC_HEADS}_dec{DEC_HEADS}",
+           dict(result, vol_s=result["value"],
+                source="scripts/bench_vith.py"))
 
 
 if __name__ == "__main__":
