@@ -111,15 +111,18 @@ A100_ATTN_BWD_TF = 55e12
 A100_DENSE_EFF = 0.50
 
 
-def train_step_flops_per_volume(split: bool = False):
-    """Analytic FLOPs (fwd+bwd ~= 3x fwd) of one MAE train step, per volume.
+def mae_train_flops(d: int = 1024, layers: int = 24, dd: int = 512,
+                    dlayers: int = 8, frames: int = FRAMES, img: int = IMG,
+                    patch: int = PATCH, tpatch: int = TPATCH,
+                    mask: float = MASK_RATIO, split: bool = False):
+    """Analytic FLOPs (fwd+bwd ~= 3x fwd) of one 3D MAE train step, per
+    volume, for any encoder/decoder dims (ViT-L default; bench_joint /
+    bench_vith pass ViT-H dims).
 
     split=True returns (dense_fwd, attn_fwd) fwd-only components for the
     A100 component model (train totals are 3x each)."""
-    d, layers, heads = 1024, 24, 16
-    dd, dlayers = 512, 8
-    l_full = (FRAMES // TPATCH) * (IMG // PATCH) ** 2     # 5120
-    l_vis = int(l_full * (1 - MASK_RATIO)) + 1            # 513 (cls)
+    l_full = (frames // tpatch) * (img // patch) ** 2     # 5120 @ ViT-L
+    l_vis = int(l_full * (1 - mask)) + 1                  # 513 (cls)
     l_dec = l_full + 1
 
     def lin_flops(n, dim):
@@ -129,13 +132,37 @@ def train_step_flops_per_volume(split: bool = False):
         return 2 * 2 * n * n * dim            # qk^T and pv
 
     dense = (layers * lin_flops(l_vis, d) + dlayers * lin_flops(l_dec, dd)
-             + 2 * l_full * (TPATCH * PATCH * PATCH) * d   # patch embed
-             + 2 * l_dec * dd * (TPATCH * PATCH * PATCH)   # decoder_pred
+             + 2 * l_full * (tpatch * patch * patch) * d   # patch embed
+             + 2 * l_dec * dd * (tpatch * patch * patch)   # decoder_pred
              + 2 * l_dec * d * dd)                         # decoder_embed
     attn = layers * attn_flops(l_vis, d) + dlayers * attn_flops(l_dec, dd)
     if split:
         return dense, attn
     return 3.0 * (dense + attn)
+
+
+def mae2d_train_flops(d: int = 1024, layers: int = 24, dd: int = 512,
+                      dlayers: int = 8, img2d: int = 512,
+                      patch: int = PATCH, tpatch: int = TPATCH,
+                      mask2d: float = 0.80) -> float:
+    """Analytic train FLOPs of the high-res 2D co-training branch, per
+    image (t'=1 through the shared joint decoder)."""
+    n_full = (img2d // patch) ** 2
+    n_vis = int(n_full * (1 - mask2d)) + 1
+    n_dec = n_full + 1
+    dense = (layers * 2 * n_vis * 12 * d * d
+             + dlayers * 2 * n_dec * 12 * dd * dd
+             + 2 * n_full * (tpatch * patch ** 2) * d
+             + 2 * n_dec * d * dd
+             + 2 * n_dec * dd * (tpatch * patch ** 2))
+    attn = (layers * 2 * 2 * n_vis * n_vis * d
+            + dlayers * 2 * 2 * n_dec * n_dec * dd)
+    return 3.0 * (dense + attn)
+
+
+def train_step_flops_per_volume(split: bool = False):
+    """ViT-L headline-config FLOPs (the bench.py measurement)."""
+    return mae_train_flops(split=split)
 
 
 def a100_component_est_vols_per_sec() -> float:

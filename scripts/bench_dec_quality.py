@@ -38,7 +38,11 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 STEPS = int(os.environ.get("DQ_STEPS", "200"))
 SEG = int(os.environ.get("DQ_SEG", "10"))       # steps per device segment
 BATCH = int(os.environ.get("DQ_BATCH", "4"))
-FRAMES, IMG = 60, 256
+# DQ_MODEL=vith: ViT-H/14 at 224^2 (the vith_mae_tpu_native geometry) —
+# used for the enc-16(hd80)-vs-enc-10(hd128) neutrality curve, since the
+# round-4 evidence was ViT-L-only (round-5 verdict item 3)
+MODEL = os.environ.get("DQ_MODEL", "vitl")
+FRAMES, IMG = (60, 224) if MODEL == "vith" else (60, 256)
 N_VOLS = int(os.environ.get("DQ_NVOLS", "16"))  # fixture pool size
 
 
@@ -60,9 +64,11 @@ def run_config(dec_heads: int, data: np.ndarray, enc_heads: int = 16):
     from octcubem_tpu.train.train_state import TrainState
     from octcubem_tpu.train.mae_engine import make_mae_train_step
 
-    model = mae3d.flash_attn_mae_vit_large_patch16(
+    ctor = (mae3d.mae_vit_huge_patch14 if MODEL == "vith"
+            else mae3d.flash_attn_mae_vit_large_patch16)
+    model = ctor(
         num_frames=FRAMES, t_patch_size=3, pred_t_dim=FRAMES,
-        input_size=IMG, high_res_input_size=512, in_chans=1,
+        input_size=IMG, high_res_input_size=2 * IMG, in_chans=1,
         dtype=jnp.bfloat16, attn_impl="auto",
         num_heads=enc_heads, decoder_num_heads=dec_heads)
     x0 = jnp.asarray(data[:BATCH])

@@ -31,7 +31,16 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 BATCH3D = int(os.environ.get("BJ_BATCH3D", "4"))
 BATCH2D = int(os.environ.get("BJ_BATCH2D", "64"))
-FRAMES, IMG, IMG2D, PATCH, TPATCH = 60, 256, 512, 16, 3
+# BJ_MODEL=vith: the ViT-H/14 joint config (vith_mae_tpu_native preset —
+# 224^2/448^2, the 14-divisible counterparts of 256^2/512^2; same 5121-
+# token decoder sequence).  Default vitl = the reference headline config.
+MODEL = os.environ.get("BJ_MODEL", "vitl")
+if MODEL == "vith":
+    FRAMES, IMG, IMG2D, PATCH, TPATCH = 60, 224, 448, 14, 3
+    ENC_DIM, ENC_LAYERS = 1280, 32
+else:
+    FRAMES, IMG, IMG2D, PATCH, TPATCH = 60, 256, 512, 16, 3
+    ENC_DIM, ENC_LAYERS = 1024, 24
 MASK3D, MASK2D = 0.90, 0.80
 STEPS = int(os.environ.get("BJ_STEPS", "8"))
 PREMASK = os.environ.get("BJ_PREMASK", "0") == "1"
@@ -52,7 +61,8 @@ DEC_HEADS = int(os.environ.get("BJ_DEC_HEADS", "16"))
 # BJ_ENC_HEADS: encoder head partitioning (16 = parity hd-64, 8 =
 # TPU-native hd-128; the 2D 512^2 branch runs the encoder over ~13k
 # visible tokens, so encoder lane occupancy matters in the joint step)
-ENC_HEADS = int(os.environ.get("BJ_ENC_HEADS", "16"))
+ENC_HEADS = int(os.environ.get("BJ_ENC_HEADS",
+                                "10" if MODEL == "vith" else "16"))
 
 
 def main():
@@ -65,9 +75,10 @@ def main():
               input_size=IMG, high_res_input_size=IMG2D, in_chans=1,
               dtype=jnp.bfloat16, attn_impl="auto",
               num_heads=ENC_HEADS, decoder_num_heads=DEC_HEADS)
-    model = mae3d.flash_attn_mae_vit_large_patch16(**kw, remat=REMAT)
-    model2d = (mae3d.flash_attn_mae_vit_large_patch16(**kw, remat=True)
-               if REMAT2D else None)
+    ctor = (mae3d.mae_vit_huge_patch14 if MODEL == "vith"
+            else mae3d.flash_attn_mae_vit_large_patch16)
+    model = ctor(**kw, remat=REMAT)
+    model2d = ctor(**kw, remat=True) if REMAT2D else None
     x3 = jax.random.normal(jax.random.key(0),
                            (BATCH3D, FRAMES, IMG, IMG, 1), jnp.float32)
     # 2D high-res co-training input: t_patch_size replicated frames
@@ -107,24 +118,20 @@ def main():
     # analytic model FLOPs (train = 3x fwd; remat recompute not counted,
     # as standard for MFU); repo root is already on sys.path (top of file)
     import bench
-    flops3d = bench.train_step_flops_per_volume()
-    d, layers, dd, dlayers = 1024, 24, 512, 8
-    n_full = (IMG2D // PATCH) ** 2                        # 1024 tokens, t'=1
-    n_vis = int(n_full * (1 - MASK2D)) + 1
-    n_dec = n_full + 1
-    dense2d = (layers * 2 * n_vis * 12 * d * d
-               + dlayers * 2 * n_dec * 12 * dd * dd
-               + 2 * n_full * (TPATCH * PATCH ** 2) * d
-               + 2 * n_dec * d * dd
-               + 2 * n_dec * dd * (TPATCH * PATCH ** 2))
-    attn2d = (layers * 2 * 2 * n_vis * n_vis * d
-              + dlayers * 2 * 2 * n_dec * n_dec * dd)
-    flops2d = 3.0 * (dense2d + attn2d)
+    flops3d = bench.mae_train_flops(d=ENC_DIM, layers=ENC_LAYERS,
+                                    frames=FRAMES, img=IMG, patch=PATCH,
+                                    tpatch=TPATCH, mask=MASK3D)
+    flops2d = bench.mae2d_train_flops(d=ENC_DIM, layers=ENC_LAYERS,
+                                      img2d=IMG2D, patch=PATCH,
+                                      tpatch=TPATCH, mask2d=MASK2D)
     step_flops = BATCH3D * flops3d + BATCH2D * flops2d
     mfu = step_flops / (dt / STEPS) / bench.V5E_PEAK_BF16
 
     result = {
-        "metric": "joint 3D+2D-512 MAE pretrain step (ViT-L, ref headline config)",
+        "metric": (f"joint 3D+2D-{IMG2D} MAE pretrain step "
+                   f"({'ViT-H/14' if MODEL == 'vith' else 'ViT-L'}, "
+                   + ("vith_mae_tpu_native preset)" if MODEL == "vith"
+                      else "ref headline config)")),
         "step_time_ms": round(step_ms, 1),
         "vol3d_per_sec": round(BATCH3D / (dt / STEPS), 2),
         "img2d_per_sec": round(BATCH2D / (dt / STEPS), 2),
@@ -138,7 +145,8 @@ def main():
     print(json.dumps(result), flush=True)
     # live extras ledger for bench.py (docs/perf/recorded.json)
     from octcubem_tpu.utils.recorded import record
-    record(f"joint_enc{ENC_HEADS}_dec{DEC_HEADS}",
+    prefix = "vith_joint" if MODEL == "vith" else "joint"
+    record(f"{prefix}_enc{ENC_HEADS}_dec{DEC_HEADS}",
            dict(result, source="scripts/bench_joint.py"))
 
 
