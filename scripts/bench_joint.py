@@ -57,7 +57,8 @@ REMAT2D = (os.environ.get("BJ_REMAT2D", "1") == "1" and not REMAT
 # BJ_DEC_HEADS: decoder head partitioning (16 = reference parity hd-32,
 # 4 = vitl_mae_tpu_native hd-128 — same FLOPs/params, see bench.py and
 # NOTES_ROUND4.md decoder-geometry ablation)
-DEC_HEADS = int(os.environ.get("BJ_DEC_HEADS", "16"))
+DEC_HEADS = int(os.environ.get("BJ_DEC_HEADS",
+                                "4" if MODEL == "vith" else "16"))
 # BJ_ENC_HEADS: encoder head partitioning (16 = parity hd-64, 8 =
 # TPU-native hd-128; the 2D 512^2 branch runs the encoder over ~13k
 # visible tokens, so encoder lane occupancy matters in the joint step)

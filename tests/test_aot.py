@@ -29,6 +29,7 @@ def _tiny_model_and_params():
     return model, params, x
 
 
+@pytest.mark.slow  # ViT-L-scale build/forward; full-suite only
 def test_aot_roundtrip_matches_live_model(tmp_path):
     model, params, x = _tiny_model_and_params()
 

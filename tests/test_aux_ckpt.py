@@ -47,6 +47,7 @@ def test_get_tokenizer_fallback(monkeypatch):
     assert isinstance(tok, aux_towers.SimpleTokenizer)
 
 
+@pytest.mark.slow  # ViT-L-scale build/forward; full-suite only
 def test_text_transformer():
     tok = SimpleTokenizer()
     tokens = jnp.asarray(tok(["oct volume of left eye", "fundus image"]))
@@ -90,6 +91,7 @@ def test_focalnet_forward():
     assert ot.shape == (2, 16)
 
 
+@pytest.mark.slow  # ViT-L-scale build/forward; full-suite only
 def test_perceiver_forward():
     """VisionPerceiver (perceiver.py:87-112): feature-bag input + tile
     coords -> cross-attention into latents -> self-attention -> mean

@@ -146,6 +146,7 @@ def test_mae3d_remat_norm_equivalence():
         np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7), g0, g1)
 
 
+@pytest.mark.slow  # ViT-L-scale build/forward; full-suite only
 def test_mae3d_decoder_head_repartition_same_params():
     """The TPU-native decoder preset (vitl_mae_tpu_native:
     decoder_num_heads=4 -> head_dim 128 instead of the reference's 16 ->
@@ -176,6 +177,7 @@ def test_mae3d_decoder_head_repartition_same_params():
                    for g in jax.tree.leaves(grads))
 
 
+@pytest.mark.slow  # ViT-L-scale build/forward; full-suite only
 def test_vit_st_head_repartition_same_params():
     """Encoder head re-partitioning (e.g. vit_large_patch16 at
     num_heads=8 -> head_dim 128 instead of the reference's 16 -> 64,

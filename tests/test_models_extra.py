@@ -1,12 +1,14 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from octcubem_tpu.models import mae2d, vit_st
 from octcubem_tpu.compat.torch_import import (
     convert_retfound_2d_state_dict, import_state_dict)
 
 
+@pytest.mark.slow  # ViT-L-scale build/forward; full-suite only
 def test_mae2d_forward():
     m = mae2d.MaskedAutoencoderViT2D(
         img_size=32, patch_size=16, in_chans=3, embed_dim=32, depth=2,
@@ -110,6 +112,7 @@ def test_retfound_loads_into_mae3d():
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow  # ViT-L-scale build/forward; full-suite only
 def test_slivit_baseline_factory():
     """registry 'slivit' family: slivit_baseline builds a configurable
     trunk (model_slivit_baseline.py:18-92) and forwards [B,N,H,W,1]."""

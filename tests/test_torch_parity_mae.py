@@ -218,11 +218,13 @@ def test_loss_pred_t_dim_subsample_golden(norm_pix):
     rng = np.random.default_rng(7)
     x_np = rng.standard_normal((2, FR, IMG, IMG, 1)).astype(np.float32)
     x = jnp.asarray(x_np)
-    params = model.init(
-        {"params": jax.random.key(0), "masking": jax.random.key(1)},
-        x, mask_ratio=0.75)
-    loss, frame_losses, pred, mask = model.apply(
-        params, x, mask_ratio=0.75, rngs={"masking": jax.random.key(2)})
+    params = jax.jit(
+        lambda k, x: model.init({"params": k, "masking": k}, x,
+                                mask_ratio=0.75))(jax.random.key(0), x)
+    loss, frame_losses, pred, mask = jax.jit(
+        lambda p, x, k: model.apply(p, x, mask_ratio=0.75,
+                                    rngs={"masking": k})
+    )(params, x, jax.random.key(2))
 
     # torch oracle for the loss given the SAME pred/mask
     imgs_t = torch.tensor(x_np.transpose(0, 4, 1, 2, 3))  # [B,C,T,H,W]
