@@ -431,8 +431,15 @@ def main():
     out.update(_ext("native_enc8", "native_enc8_b8"))
     out.update(_ext("retclip_encode", "retclip_encode"))
     out.update(_ext("vith", "vith_enc10_dec4"))
+    out.update(_ext("vith_joint", "vith_joint_enc10_dec4",
+                    fields=("step_time_ms", "mfu", "vol3d_per_sec",
+                            "img2d_per_sec", "recorded_at")))
+    # real-PNG-ingest composition check (round-4 verdict item 6): frac of
+    # the step spent waiting on the loader when fed by real ingest
+    out.update(_ext("ingest", "ingest_epoch",
+                    fields=("data_wait_frac", "recorded_at")))
     out["extras_note"] = (
-        "joint_*/serving_*/native_enc8_*/retclip_encode_*/vith_* come "
+        "joint_*/serving_*/native_enc8_*/retclip_encode_*/vith_*/ingest_* come "
         "from docs/perf/recorded.json — re-measured whenever the "
         "dedicated scripts run (each *_recorded_at dates its own "
         "measurement); BENCH_FULL=1 refreshes joint+serving in this "

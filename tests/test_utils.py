@@ -270,12 +270,19 @@ def test_recorded_ledger_roundtrip(tmp_path):
 def test_recorded_ledger_seeded_and_bench_keys():
     """The checked-in ledger carries every key bench.py surfaces as
     extras, each with a timestamp — keeps the driver artifact's extras
-    dated instead of silently stale."""
+    dated instead of silently stale.  The key list is parsed out of
+    bench.py itself so adding an `_ext(...)` row there without a ledger
+    entry (or renaming a key) fails here instead of silently emitting an
+    empty extra."""
+    import re
+
     from octcubem_tpu.utils import recorded
 
+    bench_src = open(os.path.join(os.path.dirname(recorded.RECORDED_PATH),
+                                  "..", "..", "bench.py")).read()
+    keys = re.findall(r'_ext\("[^"]+",\s*"([^"]+)"', bench_src)
+    assert len(keys) >= 11, keys   # the full extras story, not a remnant
     data = recorded.load()
-    for key in ("joint_enc16_dec16", "joint_enc16_dec4", "joint_enc8_dec4",
-                "serving_enc16", "serving_enc8", "serving_enc8_int8",
-                "native_enc8_b8", "retclip_encode", "vith_enc10_dec4"):
+    for key in keys:
         assert key in data, key
         assert "recorded_at" in data[key], key
