@@ -34,6 +34,8 @@ def test_two_tower_forward():
     np.testing.assert_allclose(float(scale), 1 / 0.07, rtol=1e-5)
 
 
+@pytest.mark.slow  # single-modality ablation traces both tower graphs
+# (~11s); fast 2-tower cover: test_clip_train_step_runs + dispatch tests
 def test_two_tower_single_modality():
     m = coem.COEP2Tower(embed_dim=16, vision_cfg=V_CFG,
                         enface_cfg=E_CFG, attn_impl="naive")

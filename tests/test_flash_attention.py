@@ -169,7 +169,11 @@ def test_packed_kernel_matches_naive(n, h):
                                    atol=5e-4, rtol=5e-4)
 
 
-@pytest.mark.parametrize("n,h", [(257, 4), (256, 4), (200, 4), (385, 8)])
+@pytest.mark.parametrize("n,h", [
+    (257, 4), (256, 4), (200, 4),
+    # multi-group (h=8) x cls-fold costs ~15s interpret time; (257,4)
+    # keeps the n%128==1 fused-qkv fwd+grad cover in the fast split
+    pytest.param(385, 8, marks=pytest.mark.slow)])
 def test_fused_qkv_kernel_matches_naive(n, h):
     """flash_attention_packed_qkv: the kernels read q/k/v from the FUSED
     [B, N, 3*H*D] Wqkv buffer via minor-offset BlockSpecs (no slice

@@ -94,6 +94,7 @@ def test_mae3d_forward_2d_highres():
     assert pred.shape == (2, 16, 3 * 16 * 16 * 1)  # 4x4 grid, t'=1
 
 
+@pytest.mark.slow  # mask_ratio=0 traces the full-length decode (~18s CPU)
 def test_mae3d_eval_no_masking():
     m = _tiny_mae()
     x = jax.random.normal(jax.random.key(0), (1, 6, 32, 32, 1))

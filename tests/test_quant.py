@@ -69,6 +69,8 @@ def test_quantize_tree_only_touches_block_projections():
     assert "scale" in out["norm1"] and out["norm1"]["scale"].dtype == jnp.float32
 
 
+@pytest.mark.slow  # 2 full classifier builds/head_type; fast int8 cover:
+# test_int8_matmul_tracks_float + the quantize_tree conversion tests
 @pytest.mark.parametrize("head_type", ["dropout", "aggregate"])
 def test_vit_st_int8_logits_track_fp32(head_type):
     """End-to-end: quantized tiny classifier tracks the fp32 logits."""

@@ -207,6 +207,9 @@ def test_parity_check_cli_roundtrip(tmp_path):
     assert rc == 1
 
 
+@pytest.mark.slow  # spatial+temporal interp builds two ViT-scale trees
+# (~12s); fast import cover: test_import_fuses_separate_qkv + the
+# parity_check CLI roundtrip
 def test_import_interpolates_pos_embeds():
     """Checkpoint at 6 frames/32px loads into a 12-frame model with temporal
     interpolation, and spatial interp for a larger grid."""
