@@ -162,19 +162,6 @@ def main(argv=None):
     cfg = load_config(RetClipConfig, args.preset, **overrides)
     os.makedirs(cfg.output_dir, exist_ok=True)
     log = get_logger("retclip", os.path.join(cfg.output_dir, "out.log"))
-    # tower-geometry guard BEFORE params.txt is overwritten: --resume
-    # latest restores from THIS dir, and a head-repartitioned (or
-    # otherwise re-shaped) tower would load cleanly and silently train a
-    # different function (core/config.check_resume_geometry)
-    if cfg.resume == "latest" and not args.model_config:
-        from ..core.config import check_resume_geometry
-
-        check_resume_geometry(
-            cfg, os.path.join(cfg.output_dir, "params.txt"),
-            ("model", "embed_dim", "three_mod", "vision_cfg", "enface_cfg"))
-    with open(os.path.join(cfg.output_dir, "params.txt"), "w") as f:
-        f.write(to_json(cfg))
-
     dtype = jnp.bfloat16 if cfg.precision == "bf16" else jnp.float32
     if args.model_config:
         model = registry.create_coem_model(args.model_config, dtype=dtype,
@@ -188,6 +175,31 @@ def main(argv=None):
                     enface_cfg=ecfg, dtype=dtype,
                     remat=cfg.grad_checkpointing)
     three_mod = isinstance(model, coem.COEP3Tower)
+    # params.txt must record the AS-BUILT tower geometry: with
+    # --model_config the towers come from the JSON registry, not the
+    # preset's vision_cfg/enface_cfg, and every geometry consumer
+    # (check_resume_geometry below, check_retclip_run_geometry on the
+    # cls-fine-tune side) trusts this file.  Recording the preset cfg
+    # here made params.txt lie for --model_config runs (caught by the
+    # GA-growth e2e smoke: tiny 2-head towers recorded as 16-head).
+    cfg = dataclasses.replace(
+        cfg, model=(args.model_config or cfg.model),
+        embed_dim=model.embed_dim, three_mod=three_mod,
+        vision_cfg=dict(vcfg), enface_cfg=dict(ecfg))
+    # tower-geometry guard BEFORE params.txt is overwritten: --resume
+    # latest restores from THIS dir, and a head-repartitioned (or
+    # otherwise re-shaped) tower would load cleanly and silently train a
+    # different function (core/config.check_resume_geometry).  Compares
+    # as-built geometry, so --model_config runs are guarded too.
+    if cfg.resume == "latest":
+        from ..core.config import check_resume_geometry
+
+        check_resume_geometry(
+            cfg, os.path.join(cfg.output_dir, "params.txt"),
+            ("model", "embed_dim", "three_mod", "vision_cfg", "enface_cfg"))
+    with open(os.path.join(cfg.output_dir, "params.txt"), "w") as f:
+        f.write(to_json(cfg))
+
     frames = vcfg.get("num_frames", 60)
     osize = vcfg.get("img_size", 256)
     esize = ecfg.get("img_size", 384)

@@ -436,6 +436,14 @@ def test_retclip_finetune_ga_growth_end_to_end(tmp_path):
                   "--batch_size", "8", "--epochs", "1",
                   "--output_dir", rc_out])
 
+    # params.txt must record the AS-BUILT (--model_config JSON) tower
+    # geometry, not the preset's — every geometry guard trusts this file
+    with open(os.path.join(rc_out, "params.txt")) as f:
+        rec = json.load(f)
+    assert rec["vision_cfg"]["num_heads"] == 2
+    assert rec["enface_cfg"]["num_heads"] == 2
+    assert rec["model"] == "vitl16_octcube_ir_tiny_test"
+
     # 2) manifest fine-tune, 2-fold CV, independent test set, tower init
     ft_out = str(tmp_path / "ft")
     summary = retclip_finetune.main(
