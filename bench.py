@@ -301,10 +301,29 @@ def refresh_extras():
     ]
     for env_extra, script in runs:
         env = dict(os.environ, **env_extra)
-        print(f"# BENCH_FULL: {env_extra} {script}", file=sys.stderr,
-              flush=True)
-        subprocess.run([sys.executable, os.path.join(here, script)],
-                       env=env, check=True, stdout=sys.stderr)
+        # The axon TPU worker occasionally throws a transient
+        # FAILED_PRECONDITION right after a previous process released
+        # the chip (it self-recovers in ~5-10 min, NOTES_ROUND3/5).  A
+        # failed extras refresh must not kill the headline bench: retry
+        # once after a cooldown, then fall back to the existing ledger
+        # row (its recorded_at shows the staleness).
+        for attempt in (1, 2):
+            print(f"# BENCH_FULL: {env_extra} {script} (attempt {attempt})",
+                  file=sys.stderr, flush=True)
+            res = subprocess.run(
+                [sys.executable, os.path.join(here, script)],
+                env=env, stdout=sys.stderr)
+            if res.returncode == 0:
+                break
+            if attempt == 1:
+                print(f"# BENCH_FULL: {script} rc={res.returncode}; "
+                      "cooling down 300s before retry",
+                      file=sys.stderr, flush=True)
+                time.sleep(300)
+            else:
+                print(f"# BENCH_FULL: {script} failed twice "
+                      f"(rc={res.returncode}); keeping the prior ledger "
+                      "row for its key", file=sys.stderr, flush=True)
 
 
 def main():
