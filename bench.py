@@ -327,6 +327,11 @@ def refresh_extras():
 
 
 def main():
+    # retry-path self-test hook (see _main_with_retry): inject one
+    # first-process failure without touching the measurement code
+    if (os.environ.get("BENCH_SELFTEST_FAIL") == "1"
+            and os.environ.get("BENCH_RETRY") != "1"):
+        raise RuntimeError("BENCH_SELFTEST_FAIL injected failure")
     flops_per_vol = train_step_flops_per_volume()
     a100_flat = A100_PEAK_FP16 * A100_ASSUMED_MFU / flops_per_vol
     a100_est = a100_component_est_vols_per_sec()
@@ -466,5 +471,35 @@ def main():
     print(json.dumps(out))
 
 
+def _main_with_retry():
+    """The axon TPU worker occasionally throws a transient
+    FAILED_PRECONDITION (it self-recovers in ~5-10 min — observed twice,
+    NOTES_ROUND3/NOTES_ROUND5); an in-process retry is not safe because
+    the backend may be poisoned, so retry ONCE in a fresh process after
+    a cooldown.  The deliberate refusals (batch-6 SystemExit) propagate
+    immediately; BENCH_RETRY=1 marks the second attempt (no recursion);
+    BENCH_RETRY_COOLDOWN overrides the 420 s wait (validation)."""
+    try:
+        main()
+        return
+    except SystemExit:
+        raise
+    except KeyboardInterrupt:
+        raise
+    except Exception as e:
+        if os.environ.get("BENCH_RETRY") == "1":
+            raise
+        import subprocess
+        import sys
+
+        print(f"# bench: {type(e).__name__}: {e} — retrying once in a "
+              "fresh process after cooldown (transient TPU-worker-fault "
+              "recovery)", file=sys.stderr, flush=True)
+        time.sleep(int(os.environ.get("BENCH_RETRY_COOLDOWN", "420")))
+        raise SystemExit(subprocess.call(
+            [sys.executable, os.path.abspath(__file__)],
+            env=dict(os.environ, BENCH_RETRY="1")))
+
+
 if __name__ == "__main__":
-    main()
+    _main_with_retry()
